@@ -1,0 +1,293 @@
+"""EKF core kernels over the static state layout.
+
+Capability parity with ov_msckf::StateHelper (StateHelper.{h,cpp}): covariance
+propagation that touches only the IMU block, clone augmentation with the
+time-offset Jacobian, marginalization, the Kalman update with per-variable
+gain accumulation, delayed landmark initialization via an orthogonal split of
+the feature system, and chi-squared gating tables.
+
+TPU-first notes:
+  * all shapes are static; "marginalize" zeroes covariance rows/cols instead
+    of shrinking the matrix; "which rows are active" is carried by masks,
+  * the update is dense MXU work: P·Hᵀ, a Cholesky solve, and a symmetric
+    downdate — padded measurement rows carry H=0, res=0, R=1 so they are
+    exact no-ops,
+  * the reference's sequential Givens sweeps (UpdaterHelper.cpp:426-487)
+    are replaced by batched Householder QR (jnp.linalg.qr) — numerically an
+    orthogonal transform of the same system, hence an equivalent filter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.core.state import VioState, boxplus, next_slot
+from open_vins_tpu.ops import lie
+
+# ---------------------------------------------------------------------------
+# chi2 gating table (0.95 quantile by dof), host-side constant.
+# Reference: UpdaterMSCKF.cpp:52-55 precomputes boost chi_squared quantiles.
+# ---------------------------------------------------------------------------
+
+_CHI2_MAX_DOF = 1024
+
+
+def _build_chi2_table(q=0.95, max_dof=_CHI2_MAX_DOF):
+    from scipy.stats import chi2 as _chi2
+
+    dof = np.arange(1, max_dof + 1)
+    return np.concatenate([[np.inf], _chi2.ppf(q, dof)]).astype(np.float32)
+
+
+CHI2_95 = jnp.asarray(_build_chi2_table())
+
+
+def chi2_gate(dof):
+    """0.95 chi-square threshold for (possibly traced) integer dof."""
+    return CHI2_95[jnp.clip(dof, 0, _CHI2_MAX_DOF)]
+
+
+# ---------------------------------------------------------------------------
+# propagation
+# ---------------------------------------------------------------------------
+
+
+def propagate_covariance(cov, Phi, Qd, cfg: FilterConfig):
+    """P <- Φ P Φᵀ + Q where Φ acts on the leading IMU block only.
+
+    Mirrors StateHelper::EKFPropagation's block-sparse structure
+    (StateHelper.cpp:33-114): only the IMU rows/cols change.
+    """
+    d = cfg.imu_dim
+    Pii = cov[:d, :d]
+    Pix = cov[:d, d:]
+    new_ii = Phi @ Pii @ Phi.T + Qd
+    new_ii = 0.5 * (new_ii + new_ii.T)
+    new_ix = Phi @ Pix
+    top = jnp.concatenate([new_ii, new_ix], axis=1)
+    bot = jnp.concatenate([new_ix.T, cov[d:, d:]], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def augment_clone(state: VioState, cfg: FilterConfig, w_hat) -> VioState:
+    """Stochastic cloning of the current IMU pose into the next ring slot.
+
+    Mirrors StateHelper::augment_clone (StateHelper.cpp:579-616): the clone
+    error is [θ_imu; p_imu], plus — when estimating the camera-IMU time
+    offset — the Li&Mourikis dt column [ω̂; v].  The ring slot being reused
+    must already be marginalized (zero rows/cols).
+    """
+    D = cfg.state_dim
+    slot = next_slot(state, cfg)
+    off = cfg.clones_off + 6 * slot
+
+    # J [6, D]: rows of the new clone w.r.t. the existing state
+    J = jnp.zeros((6, D), dtype=state.cov.dtype)
+    J = J.at[0:3, cfg.th_off : cfg.th_off + 3].set(jnp.eye(3, dtype=state.cov.dtype))
+    J = J.at[3:6, cfg.p_off : cfg.p_off + 3].set(jnp.eye(3, dtype=state.cov.dtype))
+    if cfg.calib_cam_timeoffset:
+        dt_col = jnp.concatenate([w_hat, state.v])
+        J = J.at[:, cfg.calib_dt_off].set(dt_col)
+
+    new_rows = J @ state.cov  # [6, D]
+    corner = new_rows @ J.T  # [6, 6]
+
+    cov = state.cov
+    cov = jax.lax.dynamic_update_slice(cov, new_rows, (off, 0))
+    cov = jax.lax.dynamic_update_slice(cov, new_rows.T, (0, off))
+    cov = jax.lax.dynamic_update_slice(cov, corner, (off, off))
+
+    C = cfg.max_clones
+    return state._replace(
+        cov=cov,
+        clones_q=state.clones_q.at[slot].set(state.q),
+        clones_p=state.clones_p.at[slot].set(state.p),
+        clones_q_fej=state.clones_q_fej.at[slot].set(state.q_fej),
+        clones_p_fej=state.clones_p_fej.at[slot].set(state.p_fej),
+        clone_t=state.clone_t.at[slot].set(state.t),
+        clone_valid=state.clone_valid.at[slot].set(True),
+        head=slot.astype(jnp.int32),
+        n_clones=jnp.minimum(state.n_clones + 1, C),
+    )
+
+
+def marginalize_clone(state: VioState, cfg: FilterConfig, slot) -> VioState:
+    """Drop a clone: zero its covariance rows/cols and free the slot.
+
+    Equivalent to StateHelper::marginalize (StateHelper.cpp:271-339) under the
+    static layout (dropping rows/cols == zeroing them + masking the slot).
+    """
+    off = cfg.clones_off + 6 * slot
+    D = cfg.state_dim
+    z_rows = jnp.zeros((6, D), dtype=state.cov.dtype)
+    cov = jax.lax.dynamic_update_slice(state.cov, z_rows, (off, 0))
+    cov = jax.lax.dynamic_update_slice(cov, z_rows.T, (0, off))
+    return state._replace(
+        cov=cov,
+        clone_valid=state.clone_valid.at[slot].set(False),
+        clone_t=state.clone_t.at[slot].set(-1.0),
+        n_clones=jnp.maximum(state.n_clones - 1, 0),
+    )
+
+
+def marginalize_slam_slot(state: VioState, cfg: FilterConfig, slot) -> VioState:
+    """Free a SLAM landmark slot (StateHelper::marginalize_slam parity)."""
+    off = cfg.slam_off + 3 * slot
+    D = cfg.state_dim
+    z_rows = jnp.zeros((3, D), dtype=state.cov.dtype)
+    cov = jax.lax.dynamic_update_slice(state.cov, z_rows, (off, 0))
+    cov = jax.lax.dynamic_update_slice(cov, z_rows.T, (0, off))
+    return state._replace(
+        cov=cov,
+        slam_valid=state.slam_valid.at[slot].set(False),
+        slam_id=state.slam_id.at[slot].set(-1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# update
+# ---------------------------------------------------------------------------
+
+
+def active_mask(state: VioState, cfg: FilterConfig):
+    """[D] bool mask of error-state entries that are currently estimated."""
+    D = cfg.state_dim
+    m = np.zeros(D, dtype=bool)
+    m[: cfg.imu_dim] = True
+    mask = jnp.asarray(m)
+    clone_mask = jnp.repeat(state.clone_valid, 6)
+    mask = mask.at[cfg.clones_off : cfg.clones_off + 6 * cfg.max_clones].set(clone_mask)
+    slam_mask = jnp.repeat(state.slam_valid, 3)
+    mask = mask.at[cfg.slam_off : cfg.slam_off + 3 * cfg.max_slam].set(slam_mask)
+    if cfg.calib_cam_timeoffset:
+        mask = mask.at[cfg.calib_dt_off].set(True)
+    if cfg.calib_cam_extrinsics:
+        mask = mask.at[cfg.calib_ext_off : cfg.calib_ext_off + 6 * cfg.num_cams].set(True)
+    if cfg.calib_cam_intrinsics:
+        mask = mask.at[cfg.calib_intr_off : cfg.calib_intr_off + 8 * cfg.num_cams].set(True)
+    return mask
+
+
+def ekf_update(state: VioState, cfg: FilterConfig, H, res, r_diag) -> VioState:
+    """Standard EKF update; padded rows must have H=0, res=0, r_diag=1.
+
+    Mirrors StateHelper::EKFUpdate (StateHelper.cpp:116-197): M = P Hᵀ,
+    S = H M + R solved by Cholesky, state boxplus, symmetric covariance
+    downdate.  The reference aborts on negative covariance diagonals; here we
+    clamp-symmetrize (f32 on TPU) and expose the diagonal for health checks.
+    """
+    PHt = state.cov @ H.T  # [D, m]
+    S = H @ PHt + jnp.diag(r_diag)
+    S = 0.5 * (S + S.T)
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    K = jax.scipy.linalg.cho_solve(chol, PHt.T).T  # [D, m]
+    dx = K @ res
+    cov = state.cov - K @ PHt.T
+    cov = 0.5 * (cov + cov.T)
+    new_state = boxplus(state, cfg, dx)
+    return new_state._replace(cov=cov)
+
+
+def set_initial_covariance(state: VioState, cfg: FilterConfig, diag) -> VioState:
+    """Write a diagonal prior for the IMU block (+ calib if estimated).
+
+    Parity with StateHelper::set_initial_covariance (StateHelper.cpp:199-224).
+    `diag` is a [D] vector (entries for inactive blocks are ignored).
+    """
+    mask = active_mask(state, cfg)
+    cov = jnp.diag(jnp.where(mask, diag, 0.0))
+    return state._replace(cov=cov)
+
+
+# ---------------------------------------------------------------------------
+# delayed initialization (landmarks)
+# ---------------------------------------------------------------------------
+
+
+def initialize_landmark(
+    state: VioState,
+    cfg: FilterConfig,
+    slot,
+    feat_id,
+    p_f,
+    H_x,
+    H_f,
+    res,
+    sigma_pix_norm,
+    row_mask,
+):
+    """Insert a landmark into `slot` via delayed initialization.
+
+    Equivalent to StateHelper::initialize + initialize_invertible
+    (StateHelper.cpp:393-577): rotate the stacked feature system
+        res = H_x δx + H_f δf + n,   n ~ N(0, σ² I)
+    by the orthogonal basis of H_f (thin QR, replacing the reference's Givens
+    sweep).  The top 3 rows give the invertible system that seeds the landmark
+    covariance; the remaining rows are returned for a separate MSCKF-style
+    update of the rest of the state.
+
+    Args:
+      H_x: [m, D] Jacobian w.r.t. existing state (dense rows, zero-padded).
+      H_f: [m, 3] Jacobian w.r.t. the new landmark.
+      res: [m] residual; row_mask: [m] valid-row mask.
+      sigma_pix_norm: measurement noise std (normalized coords).
+
+    Returns (new_state, H_up, res_up, up_row_mask): the leftover system to
+    feed to `ekf_update` (rows already orthogonalized, count = m-3).
+    """
+    m = H_f.shape[0]
+    D = cfg.state_dim
+    mdtype = state.cov.dtype
+    # zero out invalid rows so they do not affect the QR
+    H_f = jnp.where(row_mask[:, None], H_f, 0.0)
+    H_x = jnp.where(row_mask[:, None], H_x, 0.0)
+    res = jnp.where(row_mask, res, 0.0)
+
+    Q, R_full = jnp.linalg.qr(H_f, mode="complete")  # Q [m,m], R [m,3]
+    Hx_rot = Q.T @ H_x
+    res_rot = Q.T @ res
+    R1 = R_full[:3, :3]  # upper triangular
+    Hx1 = Hx_rot[:3]  # [3, D]
+    res1 = res_rot[:3]
+
+    # Landmark covariance & cross-covariance (StateHelper.cpp:484-577 math):
+    # δf = R1^{-1} (res1 - Hx1 δx - n1)
+    # P_ff = R1^{-1} (Hx1 P Hx1ᵀ + σ² I) R1^{-ᵀ};  P_fx = -R1^{-1} Hx1 P
+    R1_inv = jax.scipy.linalg.solve_triangular(
+        R1 + jnp.eye(3, dtype=mdtype) * 1e-12, jnp.eye(3, dtype=mdtype)
+    )
+    HxP = Hx1 @ state.cov  # [3, D]
+    P_ff = R1_inv @ (HxP @ Hx1.T + sigma_pix_norm**2 * jnp.eye(3, dtype=mdtype)) @ R1_inv.T
+    P_fx = -(R1_inv @ HxP)  # [3, D]
+
+    off = cfg.slam_off + 3 * slot
+    cov = state.cov
+    cov = jax.lax.dynamic_update_slice(cov, P_fx, (off, 0))
+    cov = jax.lax.dynamic_update_slice(cov, P_fx.T, (0, off))
+    cov = jax.lax.dynamic_update_slice(cov, 0.5 * (P_ff + P_ff.T), (off, off))
+
+    # apply the mean correction for the landmark: δf = R1^{-1} res1
+    # (the reference folds this into Landmark::update via the combined system;
+    # here the triangulated p_f is corrected by the rotated residual)
+    df = R1_inv @ res1
+    p_f_new = p_f + df
+
+    new_state = state._replace(
+        cov=cov,
+        slam_p=state.slam_p.at[slot].set(p_f_new),
+        slam_p_fej=state.slam_p_fej.at[slot].set(p_f_new),
+        slam_id=state.slam_id.at[slot].set(feat_id.astype(jnp.int32)),
+        slam_valid=state.slam_valid.at[slot].set(True),
+    )
+
+    # leftover rows (4..m) for the nullspace-style update
+    H_up = Hx_rot[3:]
+    res_up = res_rot[3:]
+    n_valid = jnp.sum(row_mask.astype(jnp.int32))
+    up_mask = (jnp.arange(m - 3) + 3) < n_valid
+    H_up = jnp.where(up_mask[:, None], H_up, 0.0)
+    res_up = jnp.where(up_mask, res_up, 0.0)
+    return new_state, H_up, res_up, up_mask

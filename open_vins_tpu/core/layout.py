@@ -1,0 +1,119 @@
+"""Static error-state layout for the TPU filter.
+
+The reference implements a generic typed-variable EKF where every state
+element carries a covariance slot id (ov_core/src/types/Type.h:37-120,
+ov_msckf/src/state/State.h:49-193).  The TPU-native equivalent is a
+*compile-time* layout: the error state is one dense [D] vector with fixed
+offsets computed from the filter configuration, and every state block always
+exists — blocks that are not estimated simply keep zero covariance (zero
+covariance -> zero Kalman gain -> mathematically identical to excluding the
+block, but with one static shape for XLA).
+
+Error-state ordering (all offsets static python ints):
+
+    [ imu θ(3) p(3) v(3) bg(3) ba(3) |
+      clone_0 θ(3) p(3) | ... | clone_{C-1} |
+      slam_0 f(3) | ... | slam_{L-1} |
+      calib_dt(1) |
+      cam_0 ext θ(3) p(3) | ... |
+      cam_0 intr ζ(8) | ... ]
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+
+class FilterConfig(NamedTuple):
+    """Static filter configuration (hashable; safe as a jit static arg).
+
+    Mirrors the knobs of ov_msckf StateOptions (StateOptions.h:35-119) that
+    shape the state, plus the fixed-capacity caps the TPU build needs.
+    """
+
+    max_clones: int = 11
+    max_slam: int = 25
+    num_cams: int = 1
+    # feature pipeline caps (static shapes)
+    max_msckf_in_update: int = 40
+    max_obs_per_feature: int = 12  # >= max_clones * cams used per feature
+    # calibration switches (Jacobian gating only; blocks always allocated)
+    calib_cam_timeoffset: bool = False
+    calib_cam_extrinsics: bool = False
+    calib_cam_intrinsics: bool = False
+    # estimator behavior
+    use_fej: bool = True
+    cam_model: str = "radtan"
+    # noise (continuous-time densities, NoiseManager parity)
+    sigma_w: float = 1.6968e-4
+    sigma_wb: float = 1.9393e-5
+    sigma_a: float = 2.0e-3
+    sigma_ab: float = 3.0e-3
+    sigma_pix: float = 1.0
+    gravity_mag: float = 9.81
+    chi2_multiplier: float = 1.0
+
+    # ---- layout offsets -------------------------------------------------
+    @property
+    def imu_off(self) -> int:
+        return 0
+
+    @property
+    def imu_dim(self) -> int:
+        return 15
+
+    @property
+    def th_off(self) -> int:
+        return 0
+
+    @property
+    def p_off(self) -> int:
+        return 3
+
+    @property
+    def v_off(self) -> int:
+        return 6
+
+    @property
+    def bg_off(self) -> int:
+        return 9
+
+    @property
+    def ba_off(self) -> int:
+        return 12
+
+    @property
+    def clones_off(self) -> int:
+        return 15
+
+    def clone_off(self, slot: int) -> int:
+        return self.clones_off + 6 * slot
+
+    @property
+    def slam_off(self) -> int:
+        return self.clones_off + 6 * self.max_clones
+
+    def slam_slot_off(self, slot: int) -> int:
+        return self.slam_off + 3 * slot
+
+    @property
+    def calib_dt_off(self) -> int:
+        return self.slam_off + 3 * self.max_slam
+
+    @property
+    def calib_ext_off(self) -> int:
+        return self.calib_dt_off + 1
+
+    def cam_ext_off(self, cam: int) -> int:
+        return self.calib_ext_off + 6 * cam
+
+    @property
+    def calib_intr_off(self) -> int:
+        return self.calib_ext_off + 6 * self.num_cams
+
+    def cam_intr_off(self, cam: int) -> int:
+        return self.calib_intr_off + 8 * cam
+
+    @property
+    def state_dim(self) -> int:
+        return self.calib_intr_off + 8 * self.num_cams

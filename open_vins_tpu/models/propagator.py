@@ -1,0 +1,187 @@
+"""IMU state-mean + covariance propagation as a `lax.scan` kernel.
+
+Capability parity with ov_msckf::Propagator (Propagator.{h,cpp}): per-sample
+mean integration, error-state transition Φ and discrete noise Qd composed
+across the whole camera interval and applied to the covariance once
+(Propagator::propagate_and_clone:71-130, predict_and_compute:395-480,
+compute_F_and_G_discrete:830-963).
+
+TPU-first design: the host (or simulator driver) hands a fixed-size window of
+IMU samples [K,7] whose unused tail repeats the last sample (dt=0 ⇒ Φ=I,
+Qd=0, so padding needs no masks), including boundary-interpolated first/last
+samples (select_imu_readings/interpolate_data parity, Propagator.cpp:269-393
+done host-side).  The scan composes (mean, Φ, Qd) in registers; the single
+covariance touch afterwards is the only O(D²) work.
+
+State error convention (JPL left error, [δθ δp δv δbg δba]):
+    q = [δθ/2, 1] ⊗ q̂ ,  R_GtoI = (I - ⌊δθ⌋) R̂_GtoI
+Discrete model for one interval dt with bias-corrected (ŵ, â):
+    δθ' = Rw δθ - Rw Jl(ŵdt) dt (δbg + n_g)       Rw = exp_so3(-ŵ dt)
+    δp' = δp + δv dt - 0.5 dt² R̂_ItoG ⌊â⌋ δθ - 0.5 dt² R̂_ItoG (δba + n_a)
+    δv' = δv - dt R̂_ItoG ⌊â⌋ δθ - dt R̂_ItoG (δba + n_a)
+    δb'  = δb + n_w
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from open_vins_tpu.core.ekf import propagate_covariance
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.core.state import VioState
+from open_vins_tpu.ops import lie
+
+
+class ImuWindow(NamedTuple):
+    """Fixed-size per-frame IMU packet (padded by repeating the last row)."""
+
+    t: jax.Array  # [K] relative times, non-decreasing
+    w: jax.Array  # [K, 3] gyro
+    a: jax.Array  # [K, 3] accel
+
+
+def _step_mean(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity):
+    """Midpoint/trapezoid mean integration for one interval (RK4-class
+    accuracy for VIO rates; Propagator::predict_mean_rk4 parity)."""
+    w_hat = 0.5 * (w1 + w2) - bg
+    a1h = a1 - ba
+    a2h = a2 - ba
+    dq = lie.axis_angle_2_quat(-w_hat * dt)
+    q_new = lie.quat_multiply(dq, q)
+    R_ItoG_1 = lie.quat_2_rot(q).T
+    R_ItoG_2 = lie.quat_2_rot(q_new).T
+    acc1 = R_ItoG_1 @ a1h - gravity
+    acc2 = R_ItoG_2 @ a2h - gravity
+    v_new = v + 0.5 * (acc1 + acc2) * dt
+    p_new = p + v * dt + 0.5 * acc1 * dt * dt
+    return q_new, p_new, v_new, w_hat, 0.5 * (a1h + a2h)
+
+
+def _phi_qd(q_start, w_hat, a_hat, dt, cfg: FilterConfig, dtype):
+    """Error-state Φ [15,15] and Qd [15,15] for one interval.
+
+    Mirrors compute_F_and_G_discrete (Propagator.cpp:830-963) structure.
+    Linearized at the interval-start estimate q_start.
+    """
+    R_GtoI = lie.quat_2_rot(q_start)
+    R_ItoG = R_GtoI.T
+    wdt = w_hat * dt
+    Rw = lie.exp_so3(-wdt)
+    JlW = lie.Jl_so3(wdt)
+    A = lie.skew(a_hat)
+
+    I3 = jnp.eye(3, dtype=dtype)
+    Z = jnp.zeros((3, 3), dtype=dtype)
+    F_th = [Rw, Z, Z, -Rw @ JlW * dt, Z]
+    F_p = [-0.5 * dt * dt * (R_ItoG @ A), I3, I3 * dt, Z, -0.5 * dt * dt * R_ItoG]
+    F_v = [-dt * (R_ItoG @ A), Z, I3, Z, -dt * R_ItoG]
+    F_bg = [Z, Z, Z, I3, Z]
+    F_ba = [Z, Z, Z, Z, I3]
+    Phi = jnp.block([F_th, F_p, F_v, F_bg, F_ba])
+
+    # G [15,12] over noise [n_g n_a n_wg n_wa]; Qc scaled for discrete time
+    G = jnp.zeros((15, 12), dtype=dtype)
+    G = G.at[0:3, 0:3].set(-Rw @ JlW * dt)
+    G = G.at[3:6, 3:6].set(-0.5 * dt * dt * R_ItoG)
+    G = G.at[6:9, 3:6].set(-dt * R_ItoG)
+    G = G.at[9:12, 6:9].set(I3 * dt)
+    G = G.at[12:15, 9:12].set(I3 * dt)
+    inv_dt = jnp.where(dt > 0, 1.0 / jnp.maximum(dt, 1e-12), 0.0)
+    qc = jnp.concatenate(
+        [
+            jnp.full((3,), cfg.sigma_w**2, dtype=dtype),
+            jnp.full((3,), cfg.sigma_a**2, dtype=dtype),
+            jnp.full((3,), cfg.sigma_wb**2, dtype=dtype),
+            jnp.full((3,), cfg.sigma_ab**2, dtype=dtype),
+        ]
+    ) * inv_dt
+    Qd = (G * qc[None, :]) @ G.T
+    return Phi, Qd
+
+
+def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioState:
+    """Propagate mean + covariance to t_new using the IMU window.
+
+    Equivalent to Propagator::propagate_and_clone's propagation half
+    (Propagator.cpp:71-130): per-interval (Φ, Qd) composed across the window,
+    then one block-sparse covariance application; FEJ values of the IMU state
+    are reset to the propagated estimate (no update happened in between).
+    """
+    dtype = state.cov.dtype
+    gravity = jnp.asarray([0.0, 0.0, cfg.gravity_mag], dtype=dtype)
+    K = win.t.shape[0]
+
+    def body(carry, k):
+        q, p, v, Phi, Qd = carry
+        dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
+        q2, p2, v2, w_hat, a_hat = _step_mean(
+            q, p, v, state.bg, state.ba, win.w[k], win.a[k], win.w[k + 1],
+            win.a[k + 1], dt, gravity
+        )
+        Phi_k, Qd_k = _phi_qd(q, w_hat, a_hat, dt, cfg, dtype)
+        Phi_new = Phi_k @ Phi
+        Qd_new = Phi_k @ Qd @ Phi_k.T + Qd_k
+        return (q2, p2, v2, Phi_new, Qd_new), None
+
+    init = (
+        state.q, state.p, state.v,
+        jnp.eye(15, dtype=dtype), jnp.zeros((15, 15), dtype=dtype),
+    )
+    (q, p, v, Phi, Qd), _ = jax.lax.scan(body, init, jnp.arange(K - 1))
+    Qd = 0.5 * (Qd + Qd.T)
+
+    cov = propagate_covariance(state.cov, Phi, Qd, cfg)
+    return state._replace(
+        q=q, p=p, v=v, cov=cov,
+        q_fej=q, p_fej=p, v_fej=v,
+        t=jnp.asarray(t_new, dtype=dtype),
+    )
+
+
+def make_window(imu_t, imu_w, imu_a, t0, t1, K):
+    """Host-side helper: slice + boundary-interpolate samples covering [t0,t1].
+
+    numpy implementation of select_imu_readings + interpolate_data
+    (Propagator.cpp:269-393, Propagator.h:154-164).  Returns an ImuWindow of
+    static size K (padded by repeating the final sample).
+    """
+    import numpy as np
+
+    imu_t = np.asarray(imu_t)
+    sel = (imu_t > t0) & (imu_t < t1)
+    idx = np.where(sel)[0]
+    ts, ws, as_ = [], [], []
+
+    def interp(ta):
+        i1 = np.searchsorted(imu_t, ta, side="right") - 1
+        i1 = np.clip(i1, 0, len(imu_t) - 2)
+        i2 = i1 + 1
+        lam = (ta - imu_t[i1]) / max(imu_t[i2] - imu_t[i1], 1e-12)
+        lam = np.clip(lam, 0.0, 1.0)
+        return (
+            (1 - lam) * np.asarray(imu_w)[i1] + lam * np.asarray(imu_w)[i2],
+            (1 - lam) * np.asarray(imu_a)[i1] + lam * np.asarray(imu_a)[i2],
+        )
+
+    w0, a0 = interp(t0)
+    ts.append(t0), ws.append(w0), as_.append(a0)
+    for i in idx:
+        ts.append(imu_t[i]), ws.append(np.asarray(imu_w)[i]), as_.append(np.asarray(imu_a)[i])
+    w1, a1 = interp(t1)
+    ts.append(t1), ws.append(w1), as_.append(a1)
+
+    ts, ws, as_ = np.asarray(ts), np.asarray(ws), np.asarray(as_)
+    if len(ts) > K:
+        raise ValueError(f"IMU window {len(ts)} exceeds static capacity {K}")
+    pad = K - len(ts)
+    ts = np.concatenate([ts, np.repeat(ts[-1:], pad)])
+    ws = np.concatenate([ws, np.repeat(ws[-1:], pad, axis=0)])
+    as_ = np.concatenate([as_, np.repeat(as_[-1:], pad, axis=0)])
+    return ImuWindow(
+        t=jnp.asarray(ts, dtype=jnp.float32),
+        w=jnp.asarray(ws, dtype=jnp.float32),
+        a=jnp.asarray(as_, dtype=jnp.float32),
+    )

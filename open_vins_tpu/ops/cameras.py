@@ -1,0 +1,124 @@
+"""Camera projection models (pinhole radtan + equidistant/fisheye).
+
+Capability parity with the reference camera layer (ov_core/src/cam/CamBase.h:39-190,
+CamRadtan.h:40-200, CamEqui.h:45-235): distort/undistort between normalized image
+coordinates and raw pixels, plus the distortion Jacobians ∂uv/∂uv_norm and
+∂uv/∂ζ (ζ = [fx fy cx cy d1..d4]) needed for online intrinsic calibration.
+
+TPU-first design notes:
+  * models are pure functions over an 8-vector of intrinsics; the model kind is
+    a *static* python argument so everything stays jit/vmap friendly,
+  * undistortion is a fixed-iteration Newton solve (static trip count) instead
+    of OpenCV's data-dependent loop,
+  * Jacobians come from `jax.jacfwd` of the analytic distort functions — exact
+    by construction, and XLA fuses them into the surrounding update kernels.
+
+Intrinsics layout: zeta = [fx, fy, cx, cy, d0, d1, d2, d3]
+  radtan: d = [k1, k2, p1, p2]      equi: d = [k1, k2, k3, k4]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+RADTAN = "radtan"
+EQUI = "equi"
+
+_UNDISTORT_ITERS = 10
+
+
+def _distort_norm_radtan(zeta, xy):
+    """Normalized -> distorted-normalized (radtan). CamRadtan.h:100-140 math."""
+    k1, k2, p1, p2 = zeta[4], zeta[5], zeta[6], zeta[7]
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return jnp.stack([xd, yd], axis=-1)
+
+
+def _distort_norm_equi(zeta, xy):
+    """Normalized -> distorted-normalized (equidistant). CamEqui.h:100-150 math."""
+    k1, k2, k3, k4 = zeta[4], zeta[5], zeta[6], zeta[7]
+    x, y = xy[..., 0], xy[..., 1]
+    r2 = x * x + y * y
+    r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+    theta = jnp.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+    # scale -> 1 as r -> 0 (theta/r -> 1 and polynomial -> 1)
+    scale = jnp.where(r2 < 1e-16, 1.0, theta_d / r)
+    return jnp.stack([x * scale, y * scale], axis=-1)
+
+
+_DISTORT_NORM = {RADTAN: _distort_norm_radtan, EQUI: _distort_norm_equi}
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def distort(model: str, zeta, uv_norm):
+    """Normalized image coords -> raw pixel coords. (..., 2) -> (..., 2)."""
+    d = _DISTORT_NORM[model](zeta, uv_norm)
+    fx, fy, cx, cy = zeta[0], zeta[1], zeta[2], zeta[3]
+    return jnp.stack([fx * d[..., 0] + cx, fy * d[..., 1] + cy], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def undistort(model: str, zeta, uv_px):
+    """Raw pixel coords -> normalized image coords via fixed-count Newton.
+
+    Matches CamBase::undistort_f (CamBase.h:70-110) behavior; OpenCV's
+    undistortPoints iteration is replaced by a shape-static Newton solve.
+    """
+    fx, fy, cx, cy = zeta[0], zeta[1], zeta[2], zeta[3]
+    target = jnp.stack(
+        [(uv_px[..., 0] - cx) / fx, (uv_px[..., 1] - cy) / fy], axis=-1
+    )
+
+    fn = _DISTORT_NORM[model]
+
+    def newton_step(_, xy):
+        flat = xy.reshape(-1, 2)
+        tflat = target.reshape(-1, 2)
+
+        def residual(p, t):
+            return fn(zeta, p) - t
+
+        J = jax.vmap(jax.jacfwd(residual), in_axes=(0, 0))(flat, tflat)
+        r = jax.vmap(residual)(flat, tflat)
+        # 2x2 solve, guarded for singular J
+        det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        dx = (J[:, 1, 1] * r[:, 0] - J[:, 0, 1] * r[:, 1]) / det
+        dy = (-J[:, 1, 0] * r[:, 0] + J[:, 0, 0] * r[:, 1]) / det
+        upd = flat - jnp.stack([dx, dy], axis=-1)
+        return upd.reshape(xy.shape)
+
+    return jax.lax.fori_loop(0, _UNDISTORT_ITERS, newton_step, target)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def distort_jacobians(model: str, zeta, uv_norm):
+    """(d_uv/d_uvnorm (...,2,2), d_uv/d_zeta (...,2,8)).
+
+    Capability of CamBase::compute_distort_jacobian (CamRadtan.h:150-200,
+    CamEqui.h:160-235), obtained by forward-mode autodiff of the analytic
+    distort function.
+    """
+    single = uv_norm.ndim == 1
+    pts = uv_norm.reshape(-1, 2)
+
+    def f(p, z):
+        return distort(model, z, p)
+
+    J_pt = jax.vmap(jax.jacfwd(f, argnums=0), in_axes=(0, None))(pts, zeta)
+    J_zeta = jax.vmap(jax.jacfwd(f, argnums=1), in_axes=(0, None))(pts, zeta)
+    if single:
+        return J_pt[0], J_zeta[0]
+    return (
+        J_pt.reshape(uv_norm.shape[:-1] + (2, 2)),
+        J_zeta.reshape(uv_norm.shape[:-1] + (2, 8)),
+    )

@@ -1,0 +1,289 @@
+"""Tests for the EKF core: layout, clone/marginalize bookkeeping, update,
+propagation Φ vs finite differences, delayed landmark init vs direct Bayes.
+
+Reference behavior: ov_msckf StateHelper.{h,cpp} and Propagator.{h,cpp}.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_vins_tpu.core import ekf
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.core.state import VioState, boxplus, init_state, next_slot, oldest_slot
+from open_vins_tpu.models import propagator
+from open_vins_tpu.ops import lie
+from open_vins_tpu.sim import bspline, simulator
+
+CFG = FilterConfig(max_clones=4, max_slam=3, num_cams=1)
+
+
+def random_spd(d, seed=0, scale=0.1):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(d, d)) * scale
+    return jnp.asarray(A @ A.T + 0.01 * np.eye(d))
+
+
+def make_state(seed=0, n_clones=0, cov=None):
+    st = init_state(CFG)
+    rng = np.random.default_rng(seed)
+    q = lie.quat_norm(jnp.asarray(rng.normal(size=4)))
+    st = st._replace(
+        q=q, q_fej=q,
+        p=jnp.asarray(rng.normal(size=3)),
+        v=jnp.asarray(rng.normal(size=3)),
+        bg=jnp.asarray(rng.normal(size=3) * 0.01),
+        ba=jnp.asarray(rng.normal(size=3) * 0.01),
+    )
+    if cov is None:
+        cov = random_spd(CFG.state_dim, seed=seed + 1)
+    st = st._replace(cov=cov)
+    for _ in range(n_clones):
+        st = ekf.augment_clone(st, CFG, jnp.zeros(3))
+    return st
+
+
+class TestCloneRing:
+    def test_augment_fills_slots(self):
+        st = make_state()
+        assert int(st.n_clones) == 0
+        for i in range(CFG.max_clones):
+            st = ekf.augment_clone(st, CFG, jnp.zeros(3))
+            assert int(st.n_clones) == i + 1
+            assert int(st.head) == i
+        assert bool(st.clone_valid.all())
+
+    def test_clone_covariance_blocks(self):
+        """After augmenting, the clone block must equal the IMU pose block."""
+        st = make_state(seed=3)
+        P0 = np.array(st.cov)
+        st2 = ekf.augment_clone(st, CFG, jnp.zeros(3))
+        off = CFG.clones_off
+        # rows: [θ, p] of imu
+        sel = np.r_[0:3, 3:6]
+        np.testing.assert_allclose(
+            np.array(st2.cov)[off : off + 6, off : off + 6],
+            P0[np.ix_(sel, sel)],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.array(st2.cov)[off : off + 6, :15], P0[sel, :15], atol=1e-6
+        )
+
+    def test_marginalize_zeroes(self):
+        st = make_state(seed=4, n_clones=2)
+        st2 = ekf.marginalize_clone(st, CFG, jnp.asarray(0))
+        off = CFG.clones_off
+        assert np.allclose(np.array(st2.cov)[off : off + 6, :], 0.0)
+        assert np.allclose(np.array(st2.cov)[:, off : off + 6], 0.0)
+        assert not bool(st2.clone_valid[0])
+        assert int(st2.n_clones) == 1
+
+    def test_oldest_slot_ring(self):
+        st = make_state(n_clones=CFG.max_clones)
+        # full window: oldest is head+1
+        assert int(oldest_slot(st, CFG)) == (int(st.head) + 1) % CFG.max_clones
+        st = ekf.marginalize_clone(st, CFG, oldest_slot(st, CFG))
+        st = ekf.augment_clone(st, CFG, jnp.zeros(3))
+        assert int(oldest_slot(st, CFG)) == (int(st.head) + 1) % CFG.max_clones
+
+
+class TestUpdate:
+    def test_position_update_reduces_cov(self):
+        st = make_state(seed=5)
+        D = CFG.state_dim
+        m = 8
+        H = jnp.zeros((m, D)).at[0:3, 3:6].set(jnp.eye(3))
+        res = jnp.zeros(m).at[0:3].set(jnp.asarray([0.1, -0.05, 0.2]))
+        r = jnp.ones(m).at[0:3].set(0.01**2)
+        st2 = ekf.ekf_update(st, CFG, H, res, r)
+        P0 = np.array(st.cov)[3:6, 3:6]
+        P1 = np.array(st2.cov)[3:6, 3:6]
+        assert np.trace(P1) < np.trace(P0)
+        assert np.all(np.linalg.eigvalsh(np.array(st2.cov)[:15, :15]) > -1e-6)
+
+    def test_padded_rows_are_noop(self):
+        st = make_state(seed=6)
+        D = CFG.state_dim
+        H = jnp.zeros((5, D)).at[0, 6].set(1.0)
+        res = jnp.zeros(5).at[0].set(0.3)
+        r = jnp.ones(5).at[0].set(0.04)
+        st_a = ekf.ekf_update(st, CFG, H, res, r)
+        st_b = ekf.ekf_update(st, CFG, H[:1], res[:1], r[:1])
+        np.testing.assert_allclose(np.array(st_a.cov), np.array(st_b.cov), atol=1e-5)
+        np.testing.assert_allclose(np.array(st_a.p), np.array(st_b.p), atol=1e-6)
+
+    def test_update_matches_kalman_formula(self):
+        st = make_state(seed=7)
+        D = CFG.state_dim
+        H = jnp.asarray(np.random.default_rng(8).normal(size=(3, D)) * 0.5)
+        res = jnp.asarray([0.05, -0.02, 0.01])
+        r = jnp.full(3, 0.01)
+        st2 = ekf.ekf_update(st, CFG, H, res, r)
+        P = np.array(st.cov, dtype=np.float64)
+        Hn = np.array(H, dtype=np.float64)
+        S = Hn @ P @ Hn.T + np.diag(np.array(r, dtype=np.float64))
+        K = P @ Hn.T @ np.linalg.inv(S)
+        P_expect = P - K @ Hn @ P
+        np.testing.assert_allclose(np.array(st2.cov), P_expect, atol=1e-4)
+
+
+class TestPropagation:
+    def _sim(self):
+        params = simulator.SimParams(duration=3.0, map_size=256, num_pts=16,
+                                     sigma_w=0.0, sigma_wb=0.0, sigma_a=0.0,
+                                     sigma_ab=0.0, sigma_pix=0.0)
+        sim = simulator.build(params, seed=0)
+        return params, sim
+
+    def _init_from_gt(self, sim, params, t_rel):
+        q, p, v, bg, ba = simulator.get_state(sim, params, jnp.asarray(t_rel))
+        st = init_state(CFG)
+        st = st._replace(q=q, q_fej=q, p=p, p_fej=p, v=v, v_fej=v, bg=bg, ba=ba,
+                         t=jnp.asarray(t_rel, dtype=jnp.float32),
+                         cov=random_spd(CFG.state_dim, seed=9, scale=0.01))
+        return st
+
+    def test_mean_tracks_groundtruth(self):
+        params, sim = self._sim()
+        st = self._init_from_gt(sim, params, 0.0)
+        n = 200  # 1 second at 200 Hz
+        steps = np.arange(n + 1)
+        imu = [simulator.get_imu(sim, params, int(s)) for s in steps]
+        win = propagator.ImuWindow(
+            t=jnp.asarray([float(s.t) for s in imu]),
+            w=jnp.stack([s.wm for s in imu]),
+            a=jnp.stack([s.am for s in imu]),
+        )
+        st2 = propagator.propagate(st, CFG, win, float(imu[-1].t))
+        q_gt, p_gt, v_gt, _, _ = simulator.get_state(sim, params, imu[-1].t)
+        assert float(jnp.linalg.norm(st2.p - p_gt)) < 0.01, "position drift"
+        assert float(jnp.linalg.norm(st2.v - v_gt)) < 0.02, "velocity drift"
+        R_est = lie.quat_2_rot(st2.q)
+        R_gt = lie.quat_2_rot(q_gt)
+        ang = float(jnp.linalg.norm(lie.log_so3(R_est @ R_gt.T)))
+        assert ang < 0.005, f"orientation drift {ang}"
+
+    def test_phi_vs_finite_diff(self):
+        """Φ must match the numerical Jacobian of the propagation map."""
+        params, sim = self._sim()
+        st = self._init_from_gt(sim, params, 0.0)
+        n = 10
+        imu = [simulator.get_imu(sim, params, int(s)) for s in range(n + 1)]
+        win = propagator.ImuWindow(
+            t=jnp.asarray([float(s.t) for s in imu]),
+            w=jnp.stack([s.wm for s in imu]),
+            a=jnp.stack([s.am for s in imu]),
+        )
+        t1 = float(imu[-1].t)
+
+        def prop_mean(st0):
+            s = propagator.propagate(st0, CFG, win, t1)
+            return s
+
+        base = prop_mean(st)
+
+        # error-state finite differences over the 15 imu dims
+        D = CFG.state_dim
+        eps = 1e-4
+        Phi_fd = np.zeros((15, 15))
+        for k in range(15):
+            dx = jnp.zeros(D).at[k].set(eps)
+            stp = boxplus(st, CFG, dx)
+            stp = stp._replace(q_fej=stp.q, p_fej=stp.p, v_fej=stp.v)
+            pert = prop_mean(stp)
+            # measure error between perturbed and base propagated states
+            dth = lie.log_so3(
+                lie.quat_2_rot(base.q).T @ lie.quat_2_rot(pert.q)
+            )
+            # JPL left error: R_pert = (I - ⌊δθ⌋) R_base → δθ from relative rot
+            R_rel = lie.quat_2_rot(pert.q) @ lie.quat_2_rot(base.q).T
+            dth = -lie.log_so3(R_rel)
+            col = np.concatenate([
+                np.array(dth),
+                np.array(pert.p - base.p),
+                np.array(pert.v - base.v),
+                np.array(pert.bg - base.bg),
+                np.array(pert.ba - base.ba),
+            ]) / eps
+            Phi_fd[:, k] = col
+
+        # recover Φ from the covariance application: propagate a zero-Q state
+        # with identity covariance and read the imu block transform
+        cfg0 = CFG._replace(sigma_w=0.0, sigma_a=0.0, sigma_wb=0.0, sigma_ab=0.0)
+        st_eye = st._replace(cov=jnp.eye(D))
+        out = propagator.propagate(st_eye, cfg0, win, t1)
+        Phi_cov = np.array(out.cov)[:15, :15]  # = Φ Φᵀ ... not directly Φ
+        # instead: P = Φ I Φᵀ = Φ Φᵀ; compare products
+        np.testing.assert_allclose(
+            Phi_cov, Phi_fd @ Phi_fd.T, atol=2e-2, rtol=2e-2
+        )
+
+
+class TestDelayedInit:
+    def test_matches_direct_bayes(self):
+        """Delayed init on a synthetic linear system must reproduce the
+        jointly-computed Gaussian conditional."""
+        rng = np.random.default_rng(11)
+        st = make_state(seed=12)
+        D = CFG.state_dim
+        m = 8
+        sigma = 0.05
+        # free slam slots carry zero covariance and are never touched by H_x
+        slam_sl = slice(CFG.slam_off, CFG.slam_off + 3 * CFG.max_slam)
+        cov = np.array(st.cov)
+        cov[slam_sl, :] = 0.0
+        cov[:, slam_sl] = 0.0
+        st = st._replace(cov=jnp.asarray(cov))
+        H_x_np = rng.normal(size=(m, D)) * 0.3
+        H_x_np[:, slam_sl] = 0.0
+        H_x = jnp.asarray(H_x_np)
+        H_f = jnp.asarray(rng.normal(size=(m, 3)))
+        res = jnp.asarray(rng.normal(size=m) * 0.01)
+        mask = jnp.ones(m, dtype=bool)
+        p_f0 = jnp.asarray([1.0, 2.0, 3.0])
+
+        st2, H_up, res_up, up_mask = ekf.initialize_landmark(
+            st, CFG, jnp.asarray(0), jnp.asarray(77), p_f0, H_x, H_f, res,
+            sigma, mask,
+        )
+        # finish with the leftover update
+        r_diag = jnp.where(up_mask, sigma**2, 1.0)
+        st3 = ekf.ekf_update(st2, CFG, H_up, res_up, r_diag)
+
+        # direct joint Gaussian solve in f64 over the active dims (non-slam):
+        # prior: x ~ N(0, P); f improper-uniform; obs: res = Hx x + Hf f + n
+        act = np.r_[0 : CFG.slam_off, CFG.slam_off + 3 * CFG.max_slam : D]
+        Da = len(act)
+        P = np.array(st.cov, dtype=np.float64)[np.ix_(act, act)]
+        Hx = np.array(H_x, dtype=np.float64)[:, act]
+        Hf = np.array(H_f, dtype=np.float64)
+        r = np.array(res, dtype=np.float64)
+        R = sigma**2 * np.eye(m)
+        # joint information: [x; f]
+        Pinv = np.linalg.inv(P)
+        Hj = np.concatenate([Hx, Hf], axis=1)
+        Info = np.block([[Pinv, np.zeros((Da, 3))], [np.zeros((3, Da)), np.zeros((3, 3))]])
+        Info = Info + Hj.T @ np.linalg.inv(R) @ Hj
+        cov_joint = np.linalg.inv(Info)
+        mean_joint = cov_joint @ (Hj.T @ np.linalg.inv(R) @ r)
+
+        off = CFG.slam_off
+        np.testing.assert_allclose(
+            np.array(st3.cov)[off : off + 3, off : off + 3],
+            cov_joint[Da : Da + 3, Da : Da + 3],
+            atol=1e-3, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.array(st3.slam_p[0] - p_f0), mean_joint[Da:], atol=1e-4, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.array(st3.cov)[:15, :15], cov_joint[:15, :15], atol=1e-3, rtol=1e-3
+        )
+        assert int(st3.slam_id[0]) == 77
+        assert bool(st3.slam_valid[0])
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
