@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Closed-loop simulation run: synthetic IMU+camera -> MSCKF VIO -> metrics.
+
+The run_simulation entry-point equivalent (ov_msckf/src/run_simulation.cpp):
+builds the seeded simulator, runs the full filter as one device program, and
+reports RMSE / NEES — the reference's error_simulation quality bar.
+
+Usage:
+  python examples/run_sim.py [--duration 20] [--cpu] [--seed 0]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=20.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--num-pts", type=int, default=45)
+    ap.add_argument("--clones", type=int, default=11)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import open_vins_tpu  # noqa: F401  (sets matmul precision)
+    from open_vins_tpu.core.layout import FilterConfig
+    from open_vins_tpu.models import runner
+    from open_vins_tpu.models import triangulation as tri
+    from open_vins_tpu.ops import lie
+    from open_vins_tpu.sim import simulator
+
+    params = simulator.SimParams(
+        imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=args.num_pts,
+        map_size=2048, duration=args.duration, sigma_pix=1.0,
+    )
+    cfg = FilterConfig(max_clones=args.clones, max_slam=0, num_cams=1,
+                       max_msckf_in_update=30)
+    tri_opts = tri.TriangulationOptions()
+
+    print(f"devices: {jax.devices()}")
+    t0 = time.time()
+    sim = simulator.build(params, seed=args.seed)
+    run = runner.stage_run(sim, params)
+    jax.block_until_ready(run.frames.uv)
+    print(f"staged {simulator.n_cam_frames(params)} frames in {time.time()-t0:.1f}s")
+
+    fil = jax.jit(lambda r: runner.run_filter(cfg, tri_opts, sim, params, r))
+    t0 = time.time()
+    state, outs = fil(run)
+    jax.block_until_ready(state.cov)
+    t_first = time.time() - t0
+    t0 = time.time()
+    state, outs = fil(run)
+    jax.block_until_ready(state.cov)
+    t_steady = time.time() - t0
+    n_frames = simulator.n_cam_frames(params) - 1
+    print(f"filter: first {t_first:.1f}s, steady {t_steady:.3f}s "
+          f"({n_frames/t_steady:.0f} frames/s)")
+
+    qs, ps, vs, covs, diag = outs
+    gt_q = np.array(run.gt_q)[1:]
+    gt_p = np.array(run.gt_p)[1:]
+    perr = np.array(ps) - gt_p
+    R_est = np.array(jax.vmap(lie.quat_2_rot)(qs))
+    R_gt = np.array(jax.vmap(lie.quat_2_rot)(jnp.asarray(gt_q)))
+    rel = jnp.asarray(R_gt @ np.swapaxes(R_est, -1, -2))
+    therr = -np.array(jax.vmap(lie.log_so3)(rel))
+
+    rmse_p = np.sqrt((perr**2).sum(1).mean())
+    rmse_th = np.degrees(np.sqrt((therr**2).sum(1).mean()))
+    nees = []
+    covs = np.array(covs)
+    for k in range(40, len(therr)):
+        e = np.concatenate([therr[k], perr[k]])
+        nees.append(e @ np.linalg.solve(covs[k] + 1e-12 * np.eye(6), e))
+    print(f"ATE-style RMSE: {rmse_p*100:.2f} cm / {rmse_th:.3f} deg")
+    print(f"pose NEES (dof 6): {np.mean(nees):.2f}")
+    print(f"msckf feats/frame: {np.array(diag.n_msckf)[20:].mean():.1f}")
+    ok = rmse_p < 0.15 and np.isfinite(np.array(state.cov)).all()
+    print("STATUS:", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

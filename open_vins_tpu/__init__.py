@@ -8,6 +8,8 @@ state blocks, `lax.scan` propagation, QR measurement compression, and
 `jax.sharding` meshes for multi-chip scaling.
 """
 
+import os as _os
+
 import jax as _jax
 
 # On TPU, matmuls default to bfloat16 MXU passes (~3 decimal digits), which is
@@ -15,5 +17,17 @@ import jax as _jax
 # dots to full f32 accumulation.  Hot kernels that can tolerate bf16 opt in
 # explicitly with precision=DEFAULT.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the estimator is a handful of large jit
+# programs; caching makes repeated runs (bench, examples, driver re-runs)
+# skip the multi-minute first compile.
+_cache_dir = _os.environ.get(
+    "OVT_JAX_CACHE", _os.path.expanduser("~/.cache/ovt_jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without the knobs
+    pass
 
 __version__ = "0.1.0"

@@ -1,0 +1,231 @@
+"""Per-frame VIO orchestration — the VioManager re-designed as one jit step.
+
+Capability parity with ov_msckf::VioManager (VioManager.cpp:256-714):
+marginalize-oldest, propagate+clone, ingest tracked features, triage
+(lost / full-window), triangulate, per-feature Jacobians, nullspace
+projection, chi-squared gating, stacking, QR compression, one EKF update,
+and post-update cleanup.
+
+Scheduling note (vs the reference): the reference marginalizes the oldest
+clone at the *end* of a frame (VioManager.cpp:596) after using its
+measurements; with a fixed ring of `max_clones` slots we marginalize at the
+*start* of the next frame instead — the same measurements are available to
+the same updates, one frame-boundary later, and the window never exceeds
+its static capacity.
+
+The whole step is one jit-compiled function over static shapes; an entire
+run is `lax.scan(step_frame, ...)` over pre-staged frame inputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from open_vins_tpu.core import ekf
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.core.state import VioState, init_state, oldest_slot
+from open_vins_tpu.models import feature_table as ft
+from open_vins_tpu.models import triangulation as tri
+from open_vins_tpu.models import update_helper as uh
+from open_vins_tpu.models.propagator import ImuWindow, propagate
+from open_vins_tpu.ops import lie
+
+
+class FrameInput(NamedTuple):
+    """All inputs for one camera frame (static shapes; scan-friendly)."""
+
+    win: ImuWindow  # IMU samples covering (t_prev, t_new]
+    t_new: jax.Array  # scalar frame time (imu clock)
+    ids: jax.Array  # [N, P] feature ids
+    uv: jax.Array  # [N, P, 2] raw pixels
+    uvn: jax.Array  # [N, P, 2] normalized
+    mask: jax.Array  # [N, P]
+
+
+class StepDiag(NamedTuple):
+    n_msckf: jax.Array  # features used in the MSCKF update
+    n_tracks: jax.Array  # live rows in the table
+    chi2_mean: jax.Array
+
+
+def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
+                       rows):
+    """Gather per-feature observations + camera poses for selected rows.
+
+    rows: [F] row indices into the table (may include invalid -> masked).
+    Returns (tri.FeatureObs batched [F, O=C*N, ...], uh.GatheredObs [F, O]).
+    """
+    C, N = cfg.max_clones, cfg.num_cams
+    O = C * N
+
+    slot_idx = jnp.tile(jnp.arange(C, dtype=jnp.int32)[:, None], (1, N)).reshape(O)
+    cam_idx = jnp.tile(jnp.arange(N, dtype=jnp.int32)[None, :], (C, 1)).reshape(O)
+
+    # camera pose for every (slot, cam): R_GtoC = R_ItoC R_GtoI ; p_CinG
+    R_GtoI = lie.quat_2_rot(state.clones_q)  # [C,3,3]
+    R_ItoC = lie.quat_2_rot(state.calib_ext_q)  # [N,3,3]
+    R_GtoC = jnp.einsum("nij,cjk->cnik", R_ItoC, R_GtoI).reshape(O, 3, 3)
+    # p_CinG = p_I - R_ItoG R_ItoC^T p_IinC  (from p_C = R_ItoC(R_GtoI(p-p_I))+p_IinC)
+    R_ItoG = jnp.swapaxes(R_GtoI, -1, -2)  # [C,3,3]
+    off = jnp.einsum("cij,njk,nk->cni", R_ItoG, jnp.swapaxes(R_ItoC, -1, -2),
+                     state.calib_ext_p)
+    p_CinG = (state.clones_p[:, None, :] - off).reshape(O, 3)
+
+    def per_row(r):
+        valid_row = r < table.ids.shape[0]
+        rr = jnp.minimum(r, table.ids.shape[0] - 1)
+        m = table.mask[rr].reshape(O) & valid_row & state.clone_valid[slot_idx]
+        uv = table.uv[rr].reshape(O, 2)
+        uvn = table.uvn[rr].reshape(O, 2)
+        return m, uv, uvn
+
+    mask, uv, uvn = jax.vmap(per_row)(rows)
+    F = rows.shape[0]
+    tri_obs = tri.FeatureObs(
+        R_GtoC=jnp.broadcast_to(R_GtoC, (F, O, 3, 3)),
+        p_CinG=jnp.broadcast_to(p_CinG, (F, O, 3)),
+        uvn=uvn,
+        mask=mask,
+    )
+    gobs = uh.GatheredObs(
+        clone_slot=jnp.broadcast_to(slot_idx, (F, O)),
+        cam=jnp.broadcast_to(cam_idx, (F, O)),
+        uv=uv,
+        uvn=uvn,
+        mask=mask,
+    )
+    return tri_obs, gobs
+
+
+def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
+                 tri_opts: tri.TriangulationOptions):
+    """Triage + triangulate + project + gate + compress + EKF update.
+
+    Mirrors UpdaterMSCKF::update (UpdaterMSCKF.cpp:58-295) plus the triage
+    logic of VioManager::do_feature_propagate_update (VioManager.cpp:366-500).
+    Returns (state, table, diag).
+    """
+    F = cfg.max_msckf_in_update
+    D = cfg.state_dim
+    sigma = cfg.sigma_pix
+
+    lost = ft.lost_rows(table)
+    # full-window tracks only become update candidates once the window is
+    # actually full (the reference pulls features_containing(margtimestep)
+    # only when a clone is about to be marginalized, VioManager.cpp:366-500)
+    window_full = state.n_clones >= cfg.max_clones
+    fullw = ft.full_window_rows(table, state.n_clones, cfg) & window_full
+    # candidates need >= 3 observations to triangulate + have excess rows
+    n_obs = ft.row_obs_counts(table)
+    cand = (lost | fullw) & (n_obs >= 3)
+    # prefer long tracks
+    score = jnp.where(cand, n_obs.astype(jnp.float32), -1.0)
+    _, rows = jax.lax.top_k(score, F)
+    sel_valid = score[rows] > 0
+
+    tri_obs, gobs = gather_feature_obs(state, cfg, table, rows)
+    p_f, tri_ok = tri.triangulate_batch(tri_obs, tri_opts)
+    # sanitize: degenerate geometry can yield inf/nan positions; they are
+    # gated out below, but NaNs must never reach the stacked system
+    # (NaN * 0 == NaN would poison the QR compression)
+    tri_ok = tri_ok & jnp.all(jnp.isfinite(p_f), axis=-1)
+    p_f = jnp.where(tri_ok[:, None], p_f, jnp.asarray([0.0, 0.0, 1.0]))
+
+    # per-feature jacobians at FEJ, nullspace projection, chi2
+    def per_feature(obs_g, pf):
+        H_x, H_f, res, row_mask = uh.feature_jacobian(state, cfg, obs_g, pf, pf)
+        H_proj, res_proj = uh.nullspace_project(H_x, H_f, res)
+        gamma = uh.chi2_statistic(state.cov, H_proj, res_proj, sigma)
+        n_rows = jnp.sum(row_mask.astype(jnp.int32))
+        return H_proj, res_proj, gamma, n_rows
+
+    H_proj, res_proj, gamma, n_rows = jax.vmap(per_feature)(gobs, p_f)
+
+    dof = jnp.maximum(n_rows - 3, 1)
+    gate = ekf.chi2_gate(dof) * cfg.chi2_multiplier
+    feat_ok = (
+        sel_valid & tri_ok & jnp.isfinite(gamma) & (gamma < gate) & (n_rows >= 5)
+    )
+
+    keep = feat_ok[:, None, None]
+    H_big = jnp.where(keep, H_proj, 0.0).reshape(-1, D)
+    res_big = jnp.where(keep[..., 0], res_proj, 0.0).reshape(-1)
+
+    H_c, res_c = uh.compress_system(H_big, res_big, D)
+    r_diag = jnp.full((D,), sigma**2, dtype=H_c.dtype)
+    # guard: skip the update entirely when nothing passed
+    any_ok = jnp.any(feat_ok)
+    new_state = ekf.ekf_update(state, cfg, H_c, res_c, r_diag)
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(any_ok, a, b), new_state, state
+    )
+
+    # cleanup: all lost rows die; used full-window rows die too
+    used = jnp.zeros_like(lost).at[rows].set(feat_ok, mode="drop")
+    table = ft.free_rows(table, lost | used)
+
+    diag = StepDiag(
+        n_msckf=jnp.sum(feat_ok.astype(jnp.int32)),
+        n_tracks=jnp.sum((table.ids >= 0).astype(jnp.int32)),
+        chi2_mean=jnp.sum(jnp.where(feat_ok, gamma, 0.0))
+        / jnp.maximum(jnp.sum(feat_ok), 1),
+    )
+    return state, table, diag
+
+
+def step_frame(state: VioState, table: ft.FeatureTable, cfg: FilterConfig,
+               tri_opts: tri.TriangulationOptions, frame: FrameInput):
+    """One full frame: marg-if-full → propagate+clone → ingest → update.
+
+    The jit unit of the whole estimator (track_image_and_update +
+    do_feature_propagate_update parity, VioManager.cpp:256-714).
+    """
+    # 1. marginalize the oldest clone if the ring is full
+    full = state.n_clones >= cfg.max_clones
+    slot_old = oldest_slot(state, cfg)
+    state_m = ekf.marginalize_clone(state, cfg, slot_old)
+    table_m = ft.clear_clone_column(table, slot_old)
+    state = jax.tree_util.tree_map(lambda a, b: jnp.where(full, a, b), state_m, state)
+    table = jax.tree_util.tree_map(lambda a, b: jnp.where(full, a, b), table_m, table)
+
+    # 2. propagate to the frame time and clone
+    state = propagate(state, cfg, frame.win, frame.t_new)
+    w_hat = frame.win.w[-1] - state.bg
+    state = ekf.augment_clone(state, cfg, w_hat)
+
+    # 3. ingest this frame's tracked features at the new head slot
+    table = ft.ingest_frame(table, cfg, state.head, frame.ids, frame.uv,
+                            frame.uvn, frame.mask)
+
+    # 4. MSCKF update
+    state, table, diag = msckf_update(state, cfg, table, tri_opts)
+    return state, table, diag
+
+
+def initialize_from_gt(cfg: FilterConfig, q, p, v, bg, ba, t,
+                       calib_ext_q, calib_ext_p, calib_intr,
+                       prior_std=None) -> VioState:
+    """Groundtruth warm start (VioManagerHelper::initialize_with_gt parity,
+    VioManagerHelper.cpp:40-76): set the IMU state and a diagonal prior."""
+    st = init_state(cfg)
+    st = st._replace(
+        q=q, q_fej=q, p=p, p_fej=p, v=v, v_fej=v, bg=bg, ba=ba,
+        t=jnp.asarray(t, dtype=st.cov.dtype),
+        calib_ext_q=calib_ext_q, calib_ext_p=calib_ext_p, calib_intr=calib_intr,
+    )
+    D = cfg.state_dim
+    diag = jnp.zeros((D,))
+    if prior_std is None:
+        # OpenVINS-style: small orientation/bias prior, tight position
+        prior_std = {
+            "th": 0.02, "p": 0.001, "v": 0.01, "bg": 0.002, "ba": 0.02,
+        }
+    diag = diag.at[0:3].set(prior_std["th"] ** 2)
+    diag = diag.at[3:6].set(prior_std["p"] ** 2)
+    diag = diag.at[6:9].set(prior_std["v"] ** 2)
+    diag = diag.at[9:12].set(prior_std["bg"] ** 2)
+    diag = diag.at[12:15].set(prior_std["ba"] ** 2)
+    return ekf.set_initial_covariance(st, cfg, diag)

@@ -1,0 +1,103 @@
+"""Closed-loop sim→VIO runner: stages the sensor stream and scans the filter.
+
+The run_simulation entry point re-imagined for TPU (run_simulation.cpp:34-110):
+all IMU samples and camera frames are generated up front (jit, device-side),
+reshaped into per-frame FrameInputs, and the estimator advances with one
+`lax.scan` — the whole trajectory is a single device program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.models import feature_table as ft
+from open_vins_tpu.models import manager
+from open_vins_tpu.models import triangulation as tri
+from open_vins_tpu.models.propagator import ImuWindow
+from open_vins_tpu.sim import simulator
+
+
+class SimRun(NamedTuple):
+    frames: manager.FrameInput  # batched over frames (leading axis)
+    gt_q: jax.Array  # [Kf, 4]
+    gt_p: jax.Array  # [Kf, 3]
+    gt_v: jax.Array  # [Kf, 3]
+
+
+def stage_run(sim: simulator.SimData, params: simulator.SimParams) -> SimRun:
+    """Generate the whole sensor stream and pack per-frame inputs.
+
+    Frame k consumes IMU steps [(k-1)·ipc, k·ipc] (inclusive ends, exact
+    lockstep, no interpolation needed since rates divide).
+    """
+    ipc = simulator.imu_per_cam(params)
+    n_frames = simulator.n_cam_frames(params)
+    n_imu = simulator.n_imu_steps(params)
+
+    imu = jax.vmap(lambda n: simulator.get_imu(sim, params, n))(
+        jnp.arange(n_imu + 1)
+    )
+    cams = jax.vmap(lambda k: simulator.get_cam(sim, params, k))(
+        jnp.arange(n_frames)
+    )
+
+    def frame_pack(k):
+        # k runs 1..n_frames-1 (frame 0 is the init anchor)
+        i0 = (k - 1) * ipc
+        t = jax.lax.dynamic_slice_in_dim(imu.t, i0, ipc + 1)
+        w = jax.lax.dynamic_slice_in_dim(imu.wm, i0, ipc + 1)
+        a = jax.lax.dynamic_slice_in_dim(imu.am, i0, ipc + 1)
+        return manager.FrameInput(
+            win=ImuWindow(t=t, w=w, a=a),
+            t_new=cams.t[k],
+            ids=cams.ids[k],
+            uv=cams.uvs[k],
+            uvn=cams.uvs_norm[k],
+            mask=cams.mask[k],
+        )
+
+    frames = jax.vmap(frame_pack)(jnp.arange(1, n_frames))
+    gt = jax.vmap(lambda k: simulator.get_state(sim, params, cams.t[k]))(
+        jnp.arange(n_frames)
+    )
+    return SimRun(frames=frames, gt_q=gt[0], gt_p=gt[1], gt_v=gt[2])
+
+
+def run_filter(cfg: FilterConfig, tri_opts: tri.TriangulationOptions,
+               sim: simulator.SimData, params: simulator.SimParams,
+               run: SimRun, max_tracks: int = 256):
+    """Init from groundtruth at frame 0 and scan the filter over all frames.
+
+    Returns (final_state, per-frame (q, p, v, cov_pose_diag, diag)).
+    """
+    q0, p0, v0, bg0, ba0 = (run.gt_q[0], run.gt_p[0], run.gt_v[0],
+                            sim.bias_g_traj[0], sim.bias_a_traj[0])
+    t0 = jnp.asarray(0.0)
+    state = manager.initialize_from_gt(
+        cfg, q0, p0, v0, bg0, ba0, t0,
+        calib_ext_q=jax.vmap(lambda R: _rot2q(R))(sim.cam_R_ItoC),
+        calib_ext_p=sim.cam_p_IinC,
+        calib_intr=sim.cam_intr,
+    )
+    table = ft.init_table(cfg, max_tracks)
+
+    def body(carry, frame):
+        st, tb = carry
+        st, tb, diag = manager.step_frame(st, tb, cfg, tri_opts, frame)
+        pose_cov = jnp.concatenate([
+            jnp.diagonal(st.cov[:3, :3]), jnp.diagonal(st.cov[3:6, 3:6])
+        ])
+        out = (st.q, st.p, st.v, st.cov[:6, :6], diag)
+        return (st, tb), out
+
+    (state, table), outs = jax.lax.scan(body, (state, table), run.frames)
+    return state, outs
+
+
+def _rot2q(R):
+    from open_vins_tpu.ops import lie
+    return lie.rot_2_quat(R)

@@ -1,0 +1,171 @@
+"""Measurement linearization: per-feature Jacobians, nullspace projection,
+measurement compression.
+
+Capability parity with ov_msckf::UpdaterHelper (UpdaterHelper.{h,cpp}):
+  * get_feature_jacobian_full (UpdaterHelper.cpp:192-424): stacked per-feature
+    system {H_f, H_x, res} with the full distortion chain dz/dz_n · dz_n/dp_C,
+    clone Jacobians [R_ItoC ⌊R_GtoI(p_f−p_I)⌋ , −R_ItoC R_GtoI], extrinsic and
+    intrinsic calibration columns, and FEJ substitution of clone/feature
+    linearization points (UpdaterHelper.cpp:353-363, 87-96),
+  * nullspace_project_inplace (…:426-454) — here an orthogonal-complement
+    projection via thin-QR of H_f (numerically equivalent: both apply an
+    orthonormal basis of null(H_fᵀ)),
+  * measurement_compress_inplace (…:456-487) — Householder QR of the stacked
+    [H | res], keeping the leading D rows.
+
+TPU-first design: one observation = one row-pair computed by a pure function;
+features are vmapped; dynamic per-feature row counts become masks; the
+sequential Givens sweeps become batched QR factorizations (MXU-friendly).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.core.state import VioState
+from open_vins_tpu.ops import cameras, lie
+
+
+class GatheredObs(NamedTuple):
+    """Per-feature observations with state context gathered per obs slot.
+
+    All arrays have leading dim O = max obs per feature.
+    """
+
+    clone_slot: jax.Array  # [O] int32 — clone ring slot of each obs
+    cam: jax.Array  # [O] int32 — camera index
+    uv: jax.Array  # [O, 2] raw pixel measurement
+    uvn: jax.Array  # [O, 2] normalized measurement (for triangulation)
+    mask: jax.Array  # [O] valid
+
+
+def feature_jacobian(
+    state: VioState, cfg: FilterConfig, obs: GatheredObs, p_f, p_f_fej
+):
+    """Stacked measurement system for one feature (GLOBAL_3D representation).
+
+    Returns (H_x [2O, D], H_f [2O, 3], res [2O], row_mask [2O]).
+    Rows for invalid observations are zeroed.
+    """
+    D = cfg.state_dim
+    O = obs.mask.shape[0]
+    dtype = state.cov.dtype
+
+    def one_obs(slot, cam, uv, valid):
+        # gather clone + calib (current and FEJ linearization values)
+        q_c = state.clones_q[slot]
+        p_c = state.clones_p[slot]
+        q_c_fej = state.clones_q_fej[slot] if cfg.use_fej else q_c
+        p_c_fej = state.clones_p_fej[slot] if cfg.use_fej else p_c
+        R_GtoI = lie.quat_2_rot(q_c)
+        R_GtoI_fej = lie.quat_2_rot(q_c_fej)
+        R_ItoC = lie.quat_2_rot(state.calib_ext_q[cam])
+        p_IinC = state.calib_ext_p[cam]
+        zeta = state.calib_intr[cam]
+
+        # prediction with current estimates
+        p_FinI = R_GtoI @ (p_f - p_c)
+        p_FinC = R_ItoC @ p_FinI + p_IinC
+        z_safe = jnp.where(jnp.abs(p_FinC[2]) > 1e-6, p_FinC[2], 1e-6)
+        uvn_pred = p_FinC[:2] / z_safe
+        uv_pred = cameras.distort(cfg.cam_model, zeta, uvn_pred)
+        res = uv - uv_pred
+
+        # chain: dz/duvn (distortion) and duvn/dpC (projection)
+        J_dist, J_zeta = cameras.distort_jacobians(cfg.cam_model, zeta, uvn_pred)
+        inv_z = 1.0 / z_safe
+        J_proj = jnp.asarray(
+            [
+                [inv_z, 0.0, -p_FinC[0] * inv_z * inv_z],
+                [0.0, inv_z, -p_FinC[1] * inv_z * inv_z],
+            ],
+            dtype=dtype,
+        )
+        dz_dpC = J_dist @ J_proj  # [2,3]
+
+        # FEJ-linearized geometry terms (UpdaterHelper.cpp:353-363)
+        p_FinI_fej = R_GtoI_fej @ (p_f_fej - p_c_fej)
+        dpC_dth = R_ItoC @ lie.skew(p_FinI_fej)  # [3,3]  w.r.t. clone δθ
+        dpC_dp = -(R_ItoC @ R_GtoI_fej)  # w.r.t. clone δp
+        dpC_dpf = R_ItoC @ R_GtoI_fej  # w.r.t. feature
+
+        H_f_o = dz_dpC @ dpC_dpf  # [2,3]
+        H_th = dz_dpC @ dpC_dth  # [2,3]
+        H_p = dz_dpC @ dpC_dp  # [2,3]
+
+        # scatter into dense rows
+        row = jnp.zeros((2, D), dtype=dtype)
+        off = cfg.clones_off + 6 * slot
+        row = jax.lax.dynamic_update_slice(row, H_th, (0, off))
+        row = jax.lax.dynamic_update_slice(row, H_p, (0, off + 3))
+        if cfg.calib_cam_extrinsics:
+            # d pC / dθ_calib = ⌊R_ItoC p_FinI⌋ ; d pC / dp_calib = I
+            H_cth = dz_dpC @ lie.skew(R_ItoC @ p_FinI)
+            H_cp = dz_dpC
+            coff = cfg.calib_ext_off + 6 * cam
+            row = jax.lax.dynamic_update_slice(row, H_cth, (0, coff))
+            row = jax.lax.dynamic_update_slice(row, H_cp, (0, coff + 3))
+        if cfg.calib_cam_intrinsics:
+            ioff = cfg.calib_intr_off + 8 * cam
+            row = jax.lax.dynamic_update_slice(row, J_zeta, (0, ioff))
+
+        w = valid.astype(dtype)
+        return row * w, H_f_o * w, res * w
+
+    H_x_rows, H_f_rows, res_rows = jax.vmap(one_obs)(
+        obs.clone_slot, obs.cam, obs.uv, obs.mask
+    )
+    H_x = H_x_rows.reshape(2 * O, D)
+    H_f = H_f_rows.reshape(2 * O, 3)
+    res = res_rows.reshape(2 * O)
+    row_mask = jnp.repeat(obs.mask, 2)
+    return H_x, H_f, res, row_mask
+
+
+def nullspace_project(H_x, H_f, res):
+    """Left-nullspace projection of H_f (UpdaterHelper.cpp:426-454 parity).
+
+    [m, D], [m, 3], [m] -> (H_proj [m, D], res_proj [m], proj_row_mask [m])
+    where only the first (rank_valid - 3) rows carry information; trailing
+    rows are exactly zero (orthogonal complement of a rank-3 column space).
+    Inputs must already have invalid rows zeroed.
+    """
+    m = H_f.shape[0]
+    Q, _ = jnp.linalg.qr(H_f, mode="complete")  # [m, m]
+    H_proj = Q.T @ H_x
+    res_proj = Q.T @ res
+    # discard the first 3 rows (the H_f column space)
+    H_proj = H_proj[3:]
+    res_proj = res_proj[3:]
+    return H_proj, res_proj
+
+
+def compress_system(H, res, out_rows):
+    """QR measurement compression (UpdaterHelper.cpp:456-487 parity).
+
+    Householder QR of the augmented [H | res]; the leading `out_rows` rows of
+    R give the compressed system under the same orthogonal transform (the
+    first D reflectors depend only on H, so column D+1 of R is Qᵀ res).
+    """
+    m, D = H.shape
+    A = jnp.concatenate([H, res[:, None]], axis=1)
+    R = jnp.linalg.qr(A, mode="r")
+    k = min(out_rows, R.shape[0])
+    H_c = jnp.zeros((out_rows, D), dtype=H.dtype).at[:k].set(R[:k, :D])
+    res_c = jnp.zeros((out_rows,), dtype=H.dtype).at[:k].set(R[:k, D])
+    return H_c, res_c
+
+
+def chi2_statistic(state_cov, H, res, sigma):
+    """γ = resᵀ (H P Hᵀ + σ²I)⁻¹ res for one feature's projected system.
+
+    Mirrors the UpdaterMSCKF chi2 gate (UpdaterMSCKF.cpp:208-234).  Zero
+    rows contribute σ² on the diagonal only, leaving γ unchanged.
+    """
+    S = H @ state_cov @ H.T + sigma**2 * jnp.eye(H.shape[0], dtype=H.dtype)
+    sol = jnp.linalg.solve(S, res)
+    return jnp.dot(res, sol)

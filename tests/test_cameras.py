@@ -10,7 +10,13 @@ import pytest
 
 from open_vins_tpu.ops import cameras
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True, scope="module")
+def _x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
 
 ZETA_RADTAN = jnp.asarray(
     [458.654, 457.296, 367.215, 248.375, -0.2834, 0.0739, 0.0002, 1.76e-05]

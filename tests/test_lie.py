@@ -12,7 +12,13 @@ import pytest
 
 from open_vins_tpu.ops import lie
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True, scope="module")
+def _x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
 
 
 def rng_vectors(n, scale=1.0, seed=0, dim=3):
