@@ -60,33 +60,44 @@ def _step_mean(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity):
     return q_new, p_new, v_new, w_hat, 0.5 * (a1h + a2h)
 
 
-def _phi_qd(q_start, w_hat, a_hat, dt, cfg: FilterConfig, dtype):
+def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype):
     """Error-state Φ [15,15] and Qd [15,15] for one interval.
 
-    Mirrors compute_F_and_G_discrete (Propagator.cpp:830-963) structure.
-    Linearized at the interval-start estimate q_start.
+    Mirrors compute_F_and_G_discrete (Propagator.cpp:830-963) including the
+    FEJ-consistent *integrated-displacement* rotation Jacobians
+    (Propagator.cpp:899-910):
+        F_pθ = -⌊ p_new - p_k - v_k dt + ½ g dt² ⌋ R_kᵀ
+        F_vθ = -⌊ v_new - v_k + g dt ⌋ R_kᵀ
+    with (R_k, p_k, v_k) taken at the linearization (first-estimate) values
+    and (p_new, v_new, q_new) the freshly propagated mean — this form keeps
+    the state-transition consistent with the unobservable subspace (yaw +
+    global position), which the naive -½dt²R⌊â⌋ linearization destroys.
     """
-    R_GtoI = lie.quat_2_rot(q_start)
-    R_ItoG = R_GtoI.T
-    wdt = w_hat * dt
-    Rw = lie.exp_so3(-wdt)
-    JlW = lie.Jl_so3(wdt)
-    A = lie.skew(a_hat)
+    q_lin, p_lin, v_lin = lin
+    q_new, p_new, v_new = new
+    R_k = lie.quat_2_rot(q_lin)  # GtoI at linearization point
+    R_kT = R_k.T
+    dR = lie.quat_2_rot(q_new) @ R_kT  # k -> k+1 rotation change
+    Jr_dR = lie.Jr_so3(lie.log_so3(dR))
 
     I3 = jnp.eye(3, dtype=dtype)
     Z = jnp.zeros((3, 3), dtype=dtype)
-    F_th = [Rw, Z, Z, -Rw @ JlW * dt, Z]
-    F_p = [-0.5 * dt * dt * (R_ItoG @ A), I3, I3 * dt, Z, -0.5 * dt * dt * R_ItoG]
-    F_v = [-dt * (R_ItoG @ A), Z, I3, Z, -dt * R_ItoG]
+    Fth_bg = -dR @ Jr_dR * dt
+    Fp_th = -lie.skew(p_new - p_lin - v_lin * dt + 0.5 * gravity * dt * dt) @ R_kT
+    Fv_th = -lie.skew(v_new - v_lin + gravity * dt) @ R_kT
+
+    F_th = [dR, Z, Z, Fth_bg, Z]
+    F_p = [Fp_th, I3, I3 * dt, Z, -0.5 * dt * dt * R_kT]
+    F_v = [Fv_th, Z, I3, Z, -dt * R_kT]
     F_bg = [Z, Z, Z, I3, Z]
     F_ba = [Z, Z, Z, Z, I3]
     Phi = jnp.block([F_th, F_p, F_v, F_bg, F_ba])
 
     # G [15,12] over noise [n_g n_a n_wg n_wa]; Qc scaled for discrete time
     G = jnp.zeros((15, 12), dtype=dtype)
-    G = G.at[0:3, 0:3].set(-Rw @ JlW * dt)
-    G = G.at[3:6, 3:6].set(-0.5 * dt * dt * R_ItoG)
-    G = G.at[6:9, 3:6].set(-dt * R_ItoG)
+    G = G.at[0:3, 0:3].set(Fth_bg)
+    G = G.at[3:6, 3:6].set(-0.5 * dt * dt * R_kT)
+    G = G.at[6:9, 3:6].set(-dt * R_kT)
     G = G.at[9:12, 6:9].set(I3 * dt)
     G = G.at[12:15, 9:12].set(I3 * dt)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.maximum(dt, 1e-12), 0.0)
@@ -115,22 +126,32 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
     K = win.t.shape[0]
 
     def body(carry, k):
-        q, p, v, Phi, Qd = carry
+        q, p, v, q_lin, p_lin, v_lin, Phi, Qd = carry
         dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
         q2, p2, v2, w_hat, a_hat = _step_mean(
             q, p, v, state.bg, state.ba, win.w[k], win.a[k], win.w[k + 1],
             win.a[k + 1], dt, gravity
         )
-        Phi_k, Qd_k = _phi_qd(q, w_hat, a_hat, dt, cfg, dtype)
+        Phi_k, Qd_k = _phi_qd(
+            (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg, dtype
+        )
+        # padded (dt=0) intervals must be exact no-ops even when the
+        # linearization point differs from the estimate
+        Phi_k = jnp.where(dt > 0, Phi_k, jnp.eye(15, dtype=dtype))
+        Qd_k = jnp.where(dt > 0, Qd_k, 0.0)
         Phi_new = Phi_k @ Phi
         Qd_new = Phi_k @ Qd @ Phi_k.T + Qd_k
-        return (q2, p2, v2, Phi_new, Qd_new), None
+        # FEJ bookkeeping (Propagator.cpp:473-479): after the step, the
+        # linearization point tracks the propagated mean; only the first
+        # post-update interval linearizes at the pre-update first estimate.
+        return (q2, p2, v2, q2, p2, v2, Phi_new, Qd_new), None
 
     init = (
         state.q, state.p, state.v,
+        state.q_fej, state.p_fej, state.v_fej,
         jnp.eye(15, dtype=dtype), jnp.zeros((15, 15), dtype=dtype),
     )
-    (q, p, v, Phi, Qd), _ = jax.lax.scan(body, init, jnp.arange(K - 1))
+    (q, p, v, _, _, _, Phi, Qd), _ = jax.lax.scan(body, init, jnp.arange(K - 1))
     Qd = 0.5 * (Qd + Qd.T)
 
     cov = propagate_covariance(state.cov, Phi, Qd, cfg)
