@@ -18,16 +18,18 @@ import jax as _jax
 # explicitly with precision=DEFAULT.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache: the estimator is a handful of large jit
-# programs; caching makes repeated runs (bench, examples, driver re-runs)
-# skip the multi-minute first compile.
-_cache_dir = _os.environ.get(
-    "OVT_JAX_CACHE", _os.path.expanduser("~/.cache/ovt_jax_cache")
-)
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:  # pragma: no cover - older jax without the knobs
-    pass
+# Persistent compilation cache, OPT-IN via OVT_JAX_CACHE=<dir>: the
+# estimator is a handful of large jit programs and caching skips the
+# multi-minute first compile on repeat runs.  It is not enabled by default
+# because with the remote-compile TPU tunnel the server also emits CPU AOT
+# artifacts whose machine features do not match this host (SIGILL risk when
+# a later CPU run loads them) — enable it only for same-platform reruns.
+_cache_dir = _os.environ.get("OVT_JAX_CACHE", "")
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
 
 __version__ = "0.1.0"

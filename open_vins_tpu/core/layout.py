@@ -43,6 +43,7 @@ class FilterConfig(NamedTuple):
     calib_cam_intrinsics: bool = False
     # estimator behavior
     use_fej: bool = True
+    use_zupt: bool = False  # zero-velocity updates (UpdaterZeroVelocity)
     cam_model: str = "radtan"
     # noise (continuous-time densities, NoiseManager parity)
     sigma_w: float = 1.6968e-4

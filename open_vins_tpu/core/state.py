@@ -49,6 +49,8 @@ class VioState(NamedTuple):
     slam_p_fej: jax.Array  # [L, 3]
     slam_id: jax.Array  # [L] int32 feature id, -1 = free slot
     slam_valid: jax.Array  # [L] bool
+    slam_fail: jax.Array  # [L] int32 accumulated chi2 failures (Landmark
+    # update_fail_count parity, Landmark.h:49-64)
     # calibration
     calib_dt: jax.Array  # scalar
     calib_ext_q: jax.Array  # [N, 4] R_ItoC as JPL quat
@@ -80,6 +82,7 @@ def init_state(cfg: FilterConfig, dtype=jnp.float32) -> VioState:
         slam_p_fej=jnp.zeros((L, 3), dtype=dtype),
         slam_id=jnp.full((L,), -1, dtype=jnp.int32),
         slam_valid=jnp.zeros((L,), dtype=bool),
+        slam_fail=jnp.zeros((L,), dtype=jnp.int32),
         calib_dt=jnp.zeros((), dtype=dtype),
         calib_ext_q=jnp.tile(qid, (N, 1)),
         calib_ext_p=jnp.zeros((N, 3), dtype=dtype),

@@ -30,6 +30,8 @@ from open_vins_tpu.core.state import VioState, init_state, oldest_slot
 from open_vins_tpu.models import feature_table as ft
 from open_vins_tpu.models import triangulation as tri
 from open_vins_tpu.models import update_helper as uh
+from open_vins_tpu.models import updater_slam as slam
+from open_vins_tpu.models import updater_zupt as zupt
 from open_vins_tpu.models.propagator import ImuWindow, propagate
 from open_vins_tpu.ops import lie
 
@@ -49,6 +51,8 @@ class StepDiag(NamedTuple):
     n_msckf: jax.Array  # features used in the MSCKF update
     n_tracks: jax.Array  # live rows in the table
     chi2_mean: jax.Array
+    n_slam: jax.Array  # active SLAM landmarks
+    n_slam_used: jax.Array  # landmarks updated this frame
 
 
 def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
@@ -101,11 +105,13 @@ def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTabl
 
 
 def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
-                 tri_opts: tri.TriangulationOptions):
+                 tri_opts: tri.TriangulationOptions, reserved=None):
     """Triage + triangulate + project + gate + compress + EKF update.
 
     Mirrors UpdaterMSCKF::update (UpdaterMSCKF.cpp:58-295) plus the triage
     logic of VioManager::do_feature_propagate_update (VioManager.cpp:366-500).
+    `reserved` ([T] bool, optional): rows reserved for SLAM promotion this
+    frame — excluded here so each feature feeds exactly one updater.
     Returns (state, table, diag).
     """
     F = cfg.max_msckf_in_update
@@ -118,9 +124,13 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     # only when a clone is about to be marginalized, VioManager.cpp:366-500)
     window_full = state.n_clones >= cfg.max_clones
     fullw = ft.full_window_rows(table, state.n_clones, cfg) & window_full
+    # rows owned by in-state SLAM landmarks never feed the MSCKF update
+    is_slam = slam.slam_row_mask(state, table)
     # candidates need >= 3 observations to triangulate + have excess rows
     n_obs = ft.row_obs_counts(table)
-    cand = (lost | fullw) & (n_obs >= 3)
+    cand = (lost | fullw) & (n_obs >= 3) & (~is_slam)
+    if reserved is not None:
+        cand = cand & (~reserved)
     # prefer long tracks
     score = jnp.where(cand, n_obs.astype(jnp.float32), -1.0)
     _, rows = jax.lax.top_k(score, F)
@@ -172,6 +182,8 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         n_tracks=jnp.sum((table.ids >= 0).astype(jnp.int32)),
         chi2_mean=jnp.sum(jnp.where(feat_ok, gamma, 0.0))
         / jnp.maximum(jnp.sum(feat_ok), 1),
+        n_slam=jnp.asarray(0, jnp.int32),
+        n_slam_used=jnp.asarray(0, jnp.int32),
     )
     return state, table, diag
 
@@ -183,6 +195,36 @@ def step_frame(state: VioState, table: ft.FeatureTable, cfg: FilterConfig,
     The jit unit of the whole estimator (track_image_and_update +
     do_feature_propagate_update parity, VioManager.cpp:256-714).
     """
+    # 0. zero-velocity update attempt: if the platform is stationary, the
+    #    frame is consumed without cloning (VioManager.cpp:294-306)
+    if cfg.use_zupt:
+        disparity = zupt.frame_disparity(
+            table, cfg, state.head, frame.ids, frame.uv, frame.mask
+        )
+        zupt_state, accepted = zupt.try_zupt(
+            state, cfg, frame.win, frame.t_new, disparity
+        )
+
+        def zupt_branch(_):
+            d = StepDiag(
+                n_msckf=jnp.asarray(0, jnp.int32),
+                n_tracks=jnp.sum((table.ids >= 0).astype(jnp.int32)),
+                chi2_mean=jnp.asarray(0.0, state.cov.dtype),
+                n_slam=jnp.sum(zupt_state.slam_valid.astype(jnp.int32)),
+                n_slam_used=jnp.asarray(0, jnp.int32),
+            )
+            return zupt_state, table, d
+
+        def normal_branch(_):
+            return _step_frame_core(state, table, cfg, tri_opts, frame)
+
+        return jax.lax.cond(accepted, zupt_branch, normal_branch, None)
+    return _step_frame_core(state, table, cfg, tri_opts, frame)
+
+
+def _step_frame_core(state: VioState, table: ft.FeatureTable,
+                     cfg: FilterConfig, tri_opts: tri.TriangulationOptions,
+                     frame: FrameInput):
     # 1. marginalize the oldest clone if the ring is full
     full = state.n_clones >= cfg.max_clones
     slot_old = oldest_slot(state, cfg)
@@ -200,8 +242,27 @@ def step_frame(state: VioState, table: ft.FeatureTable, cfg: FilterConfig,
     table = ft.ingest_frame(table, cfg, state.head, frame.ids, frame.uv,
                             frame.uvn, frame.mask)
 
-    # 4. MSCKF update
-    state, table, diag = msckf_update(state, cfg, table, tri_opts)
+    # 4. triage: reserve the best full-window tracks for SLAM promotion
+    #    (VioManager.cpp:410-453: maxtrack features go to SLAM when capacity
+    #    allows, otherwise to the MSCKF update)
+    reserved = None
+    if cfg.max_slam > 0:
+        reserved = slam.promotion_candidates(state, cfg, table)
+
+    # 5. MSCKF update (dead + surplus full-window tracks)
+    state, table, diag = msckf_update(state, cfg, table, tri_opts, reserved)
+
+    # 6. SLAM: update in-state landmarks, init new ones, evict dead ones
+    #    (UpdaterSLAM order per VioManager.cpp:502-548)
+    if cfg.max_slam > 0:
+        state, _, n_used = slam.update(state, cfg, table)
+        state, _ = slam.delayed_init(state, cfg, table, tri_opts,
+                                     gather_feature_obs)
+        state, table = slam.evict(state, cfg, table)
+        diag = diag._replace(
+            n_slam=jnp.sum(state.slam_valid.astype(jnp.int32)),
+            n_slam_used=n_used,
+        )
     return state, table, diag
 
 

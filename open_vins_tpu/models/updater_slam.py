@@ -1,0 +1,202 @@
+"""SLAM landmark pipeline: delayed initialization, per-frame updates,
+failure-count eviction.
+
+Capability parity with ov_msckf::UpdaterSLAM (UpdaterSLAM.cpp:58-647):
+  * delayed_init (…:100-240): triangulate a mature track, split its stacked
+    system into an invertible landmark part + a state update part (QR split,
+    StateHelper::initialize parity) — here via core.ekf.initialize_landmark,
+  * update (…:300-470): landmarks in the state are updated with the newest
+    frame's measurements, chi2-gated with an update_fail_count penalty,
+    batched into a single EKF update,
+  * eviction: landmarks whose track died or that keep failing the gate are
+    marginalized (VioManager.cpp:474-481 + StateHelper::marginalize_slam).
+
+Representation: GLOBAL_3D (LandmarkRepresentation.h:38-45).  Anchored
+representations and anchor changes (UpdaterSLAM::change_anchors) are a
+planned extension; GLOBAL_3D needs no anchor maintenance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from open_vins_tpu.core import ekf
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.core.state import VioState
+from open_vins_tpu.models import feature_table as ft
+from open_vins_tpu.models import triangulation as tri
+from open_vins_tpu.models import update_helper as uh
+
+MAX_FAIL = 3  # eviction threshold on consecutive chi2 failures
+MAX_INIT_PER_FRAME = 6  # landmarks initialized per frame (static bound)
+
+
+def slam_row_mask(state: VioState, table: ft.FeatureTable):
+    """[T] bool — table rows whose id is an active SLAM landmark."""
+    eq = table.ids[:, None] == state.slam_id[None, :]  # [T, L]
+    return jnp.any(eq & state.slam_valid[None, :] & (table.ids[:, None] >= 0), axis=1)
+
+
+def promotion_candidates(state: VioState, cfg: FilterConfig,
+                         table: ft.FeatureTable):
+    """[T] bool — rows reserved for SLAM promotion this frame: the
+    longest-tracked full-window rows, bounded by free slot count and the
+    per-frame init cap (VioManager.cpp:410-453 triage)."""
+    window_full = state.n_clones >= cfg.max_clones
+    fullw = ft.full_window_rows(table, state.n_clones, cfg) & window_full
+    already = slam_row_mask(state, table)
+    cand = fullw & (~already)
+    n_free = jnp.sum((~state.slam_valid).astype(jnp.int32))
+    budget = jnp.minimum(n_free, MAX_INIT_PER_FRAME)
+    score = jnp.where(cand, ft.row_obs_counts(table).astype(jnp.float32), -1.0)
+    T = table.ids.shape[0]
+    _, rows = jax.lax.top_k(score, min(MAX_INIT_PER_FRAME, T))
+    take = (score[rows] > 0) & (jnp.arange(rows.shape[0]) < budget)
+    return jnp.zeros((T,), dtype=bool).at[rows].set(take, mode="drop")
+
+
+def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
+                 tri_opts: tri.TriangulationOptions, gather_fn):
+    """Promote up to MAX_INIT_PER_FRAME mature tracks into free SLAM slots.
+
+    gather_fn(state, cfg, table, rows) -> (tri_obs, gobs)  (manager's
+    gather_feature_obs, passed in to avoid a circular import).
+    """
+    if cfg.max_slam == 0:
+        return state, jnp.asarray(0, dtype=jnp.int32)
+    L = cfg.max_slam
+    sigma = cfg.sigma_pix
+
+    window_full = state.n_clones >= cfg.max_clones
+    fullw = ft.full_window_rows(table, state.n_clones, cfg) & window_full
+    already = slam_row_mask(state, table)
+    cand = fullw & (~already)
+    n_free = jnp.sum((~state.slam_valid).astype(jnp.int32))
+
+    score = jnp.where(cand, ft.row_obs_counts(table).astype(jnp.float32), -1.0)
+    _, rows = jax.lax.top_k(score, MAX_INIT_PER_FRAME)
+    cand_ok = score[rows] > 0
+
+    tri_obs, gobs = gather_fn(state, cfg, table, rows)
+    p_f, tri_ok = tri.triangulate_batch(tri_obs, tri_opts)
+    tri_ok = tri_ok & jnp.all(jnp.isfinite(p_f), axis=-1)
+    p_f = jnp.where(tri_ok[:, None], p_f, jnp.asarray([0.0, 0.0, 1.0]))
+
+    feat_ids = jnp.where(
+        rows < table.ids.shape[0], table.ids[jnp.minimum(rows, table.ids.shape[0] - 1)], -1
+    )
+
+    # free slot for the i-th init: i-th free slam slot
+    free_order = jnp.sort(jnp.where(~state.slam_valid, jnp.arange(L), L))
+
+    def body(i, carry):
+        st, n_done = carry
+        ok = cand_ok[i] & tri_ok[i] & (n_done < n_free)
+        slot = free_order[jnp.clip(n_done, 0, L - 1)]
+        obs_i = jax.tree_util.tree_map(lambda a: a[i], gobs)
+        H_x, H_f, res, row_mask = uh.feature_jacobian(
+            st, cfg, obs_i, p_f[i], p_f[i]
+        )
+        st2, H_up, res_up, up_mask = ekf.initialize_landmark(
+            st, cfg, slot, feat_ids[i], p_f[i], H_x, H_f, res, sigma, row_mask,
+        )
+        # chi2 gate on the leftover system before accepting
+        gamma = uh.chi2_statistic(st.cov, H_up, res_up, sigma)
+        dof = jnp.maximum(jnp.sum(up_mask.astype(jnp.int32)), 1)
+        ok = ok & jnp.isfinite(gamma) & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier)
+        r_diag = jnp.where(up_mask, sigma**2, 1.0)
+        st3 = ekf.ekf_update(st2, cfg, H_up, res_up, r_diag)
+        st_new = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, a, b), st3, st
+        )
+        return st_new, n_done + ok.astype(jnp.int32)
+
+    state, n_init = jax.lax.fori_loop(
+        0, MAX_INIT_PER_FRAME, body, (state, jnp.asarray(0, dtype=jnp.int32))
+    )
+    return state, n_init
+
+
+def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
+    """One batched EKF update over all landmarks seen in the current frame.
+
+    Uses only the newest clone's measurements (UpdaterSLAM::update parity:
+    measurements at the new frame update in-state landmarks).
+    Returns (state, fail_count [L], n_used).
+    """
+    if cfg.max_slam == 0:
+        return state, jnp.zeros((0,), dtype=jnp.int32), jnp.asarray(0, jnp.int32)
+    L, N, D = cfg.max_slam, cfg.num_cams, cfg.state_dim
+    sigma = cfg.sigma_pix
+    head = state.head
+
+    # landmark -> table row (match by id)
+    eq = state.slam_id[:, None] == table.ids[None, :]  # [L, T]
+    row = jnp.argmax(eq, axis=1)
+    has_row = jnp.any(eq, axis=1) & state.slam_valid & (state.slam_id >= 0)
+
+    def per_landmark(slot):
+        r = row[slot]
+        obs = uh.GatheredObs(
+            clone_slot=jnp.full((N,), head, dtype=jnp.int32),
+            cam=jnp.arange(N, dtype=jnp.int32),
+            uv=table.uv[r, head],  # [N, 2]
+            uvn=table.uvn[r, head],
+            mask=table.mask[r, head] & has_row[slot],
+        )
+        H_x, H_f, res, row_mask = uh.feature_jacobian(
+            state, cfg, obs, state.slam_p[slot], state.slam_p_fej[slot]
+        )
+        # place H_f at the landmark's own columns
+        off = cfg.slam_off + 3 * slot
+        H_full = jax.lax.dynamic_update_slice(H_x, H_f, (0, off))
+        gamma = uh.chi2_statistic(state.cov, H_full, res, sigma)
+        dof = jnp.maximum(jnp.sum(row_mask.astype(jnp.int32)), 1)
+        ok = (
+            has_row[slot]
+            & (jnp.sum(row_mask) > 0)
+            & jnp.isfinite(gamma)
+            & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier)
+        )
+        return H_full, res, row_mask, ok
+
+    H, res, row_mask, ok = jax.vmap(per_landmark)(jnp.arange(L))
+    keep = (ok[:, None] & row_mask)  # [L, 2N]
+    H_big = jnp.where(keep[..., None], H, 0.0).reshape(L * 2 * N, D)
+    res_big = jnp.where(keep, res, 0.0).reshape(L * 2 * N)
+    r_diag = jnp.full((L * 2 * N,), sigma**2, dtype=H_big.dtype)
+
+    any_ok = jnp.any(ok)
+    new_state = ekf.ekf_update(state, cfg, H_big, res_big, r_diag)
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(any_ok, a, b), new_state, state
+    )
+
+    failed = has_row & jnp.any(row_mask, axis=1) & (~ok)
+    state = state._replace(slam_fail=state.slam_fail + failed.astype(jnp.int32))
+    return state, failed.astype(jnp.int32), jnp.sum(ok.astype(jnp.int32))
+
+
+def evict(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
+    """Marginalize landmarks whose track died or that keep failing the gate
+    (state.slam_fail carries the update_fail_count).  The evicted landmark's
+    table row is freed too — its measurements were already consumed by SLAM
+    updates and must not be re-used by the MSCKF path (information re-use)."""
+    if cfg.max_slam == 0:
+        return state, table
+    L = cfg.max_slam
+    eq = state.slam_id[:, None] == table.ids[None, :]  # [L, T]
+    tracked = jnp.any(eq & (table.ids[None, :] >= 0), axis=1)
+    dead = state.slam_valid & ((~tracked) | (state.slam_fail >= MAX_FAIL))
+
+    def body(slot, st):
+        st_m = ekf.marginalize_slam_slot(st, cfg, slot)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(dead[slot], a, b), st_m, st
+        )
+
+    dead_rows = jnp.any(eq & dead[:, None], axis=0)
+    table = ft.free_rows(table, dead_rows)
+    state = jax.lax.fori_loop(0, L, body, state)
+    return state._replace(slam_fail=jnp.where(dead, 0, state.slam_fail)), table

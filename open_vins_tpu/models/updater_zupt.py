@@ -1,0 +1,132 @@
+"""Zero-velocity update (ZUPT).
+
+Capability parity with ov_msckf::UpdaterZeroVelocity
+(UpdaterZeroVelocity.cpp:58-329): a 6-rows-per-IMU-sample residual
+[ŵ ; â − R_GtoI g] whitened by √dt/σ, bias random-walk covariance inflation
+over the frame gap, chi-squared + velocity-magnitude + image-disparity
+gating, and a direct EKF update with no cloning when the platform is
+detected stationary.
+
+TPU-first notes: the per-sample loop is a vmap over the fixed IMU window;
+the accept/reject decision drives a `lax.cond` in the manager so the whole
+frame step remains one jit program.  On an accepted ZUPT the camera frame's
+measurements are dropped (the reference keeps them keyed by timestamp; our
+clone-slot-indexed table has no clone for a skipped frame — stationary
+frames carry ~zero parallax, so the information loss is negligible).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from open_vins_tpu.core import ekf
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.core.state import VioState
+from open_vins_tpu.models.propagator import ImuWindow
+from open_vins_tpu.ops import lie
+
+ZUPT_NOISE_MULT = 10.0  # reference _zupt_noise_multiplier default
+ZUPT_MAX_VELOCITY = 0.25  # m/s gate
+ZUPT_MAX_DISPARITY = 0.5  # px average frame-to-frame disparity gate
+ZUPT_CHI2_MULT = 1.0
+
+
+def build_system(state: VioState, cfg: FilterConfig, win: ImuWindow):
+    """Stacked whitened ZUPT system (H [6K, D], res [6K], mask).
+
+    Mirrors UpdaterZeroVelocity.cpp:136-180 (direct accel constraint).
+    """
+    D = cfg.state_dim
+    dtype = state.cov.dtype
+    gravity = jnp.asarray([0.0, 0.0, cfg.gravity_mag], dtype=dtype)
+    R_fej = lie.quat_2_rot(state.q_fej if cfg.use_fej else state.q)
+    K = win.t.shape[0] - 1
+
+    def per_sample(i):
+        dt = jnp.maximum(win.t[i + 1] - win.t[i], 0.0)
+        valid = dt > 0
+        sdt = jnp.sqrt(jnp.maximum(dt, 1e-12))
+        w_omega = sdt / cfg.sigma_w
+        w_accel = sdt / cfg.sigma_a
+        w_hat = win.w[i] - state.bg
+        a_hat = win.a[i] - state.ba
+        res_w = -w_omega * w_hat
+        res_a = -w_accel * (a_hat - lie.quat_2_rot(state.q) @ gravity)
+        Hrow = jnp.zeros((6, D), dtype=dtype)
+        Hrow = Hrow.at[0:3, cfg.bg_off : cfg.bg_off + 3].set(
+            -w_omega * jnp.eye(3, dtype=dtype)
+        )
+        Hrow = Hrow.at[3:6, cfg.th_off : cfg.th_off + 3].set(
+            -w_accel * lie.skew(R_fej @ gravity)
+        )
+        Hrow = Hrow.at[3:6, cfg.ba_off : cfg.ba_off + 3].set(
+            -w_accel * jnp.eye(3, dtype=dtype)
+        )
+        w = valid.astype(dtype)
+        return Hrow * w, jnp.concatenate([res_w, res_a]) * w, jnp.repeat(valid, 6)
+
+    H, res, mask = jax.vmap(per_sample)(jnp.arange(K))
+    return H.reshape(6 * K, D), res.reshape(6 * K), mask.reshape(6 * K)
+
+
+def try_zupt(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new,
+             disparity):
+    """Attempt a zero-velocity update.  Returns (new_state, accepted).
+
+    Gates (UpdaterZeroVelocity.cpp:198-247): chi2 on the ZUPT system,
+    velocity magnitude, and average image disparity.  On accept: inflate
+    bias covariance by the random walk over the gap and update — no clone.
+    """
+    D = cfg.state_dim
+    dtype = state.cov.dtype
+    H, res, mask = build_system(state, cfg, win)
+
+    dt_summed = jnp.maximum(win.t[-1] - win.t[0], 0.0)
+    # bias random-walk inflation Q_bias (…:192-204)
+    q_diag = jnp.zeros((D,), dtype=dtype)
+    q_diag = q_diag.at[cfg.bg_off : cfg.bg_off + 3].set(dt_summed * cfg.sigma_wb**2)
+    q_diag = q_diag.at[cfg.ba_off : cfg.ba_off + 3].set(dt_summed * cfg.sigma_ab**2)
+    cov_inflated = state.cov + jnp.diag(q_diag)
+    st_infl = state._replace(cov=cov_inflated)
+
+    # chi2 against the inflated covariance with the noise multiplier
+    r_mult = jnp.asarray(ZUPT_NOISE_MULT, dtype=dtype)
+    S = H @ cov_inflated @ H.T + r_mult * jnp.eye(H.shape[0], dtype=dtype)
+    gamma = res @ jnp.linalg.solve(S, res)
+    dof = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    chi2_ok = jnp.isfinite(gamma) & (
+        gamma < ekf.chi2_gate(dof) * ZUPT_CHI2_MULT
+    )
+    vel_ok = jnp.linalg.norm(state.v) < ZUPT_MAX_VELOCITY
+    disp_ok = disparity < ZUPT_MAX_DISPARITY
+    accepted = chi2_ok & vel_ok & disp_ok
+
+    r_diag = jnp.where(mask, r_mult, 1.0)
+    res_m = jnp.where(mask, res, 0.0)
+    new_state = ekf.ekf_update(st_infl, cfg, H, res_m, r_diag)
+    new_state = new_state._replace(t=jnp.asarray(t_new, dtype=dtype))
+    out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accepted, a, b), new_state, state
+    )
+    return out, accepted
+
+
+def frame_disparity(table, cfg: FilterConfig, head_slot, ids, uv, meas_mask):
+    """Average pixel disparity between the incoming frame and the previous
+    frame's observations (FeatureHelper::compute_disparity parity,
+    FeatureHelper.h:60-123)."""
+    total = jnp.zeros(())
+    count = jnp.zeros(())
+    for cam in range(cfg.num_cams):
+        cam_ids = ids[cam]
+        eq = table.ids[:, None] == cam_ids[None, :]  # [T, P]
+        row = jnp.argmax(eq, axis=0)
+        has = jnp.any(eq, axis=0) & meas_mask[cam] & (cam_ids >= 0)
+        prev_uv = table.uv[row, head_slot, cam]
+        prev_ok = table.mask[row, head_slot, cam]
+        d = jnp.linalg.norm(uv[cam] - prev_uv, axis=-1)
+        ok = has & prev_ok
+        total = total + jnp.sum(jnp.where(ok, d, 0.0))
+        count = count + jnp.sum(ok.astype(d.dtype))
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 1e9)

@@ -1,0 +1,130 @@
+"""Tests for the evaluation suite: alignment recovery, ATE/RPE/NEES sanity,
+trajectory file IO round trips (ov_eval parity)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from open_vins_tpu.eval import metrics, traj_io
+from open_vins_tpu.eval.alignment import align_trajectory, apply_alignment
+
+
+def make_traj(n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) * 0.05
+    p = np.stack([np.sin(0.3 * t) * 5, np.cos(0.3 * t) * 5, 0.5 * t], axis=1)
+    yaw = 0.3 * t
+    R = np.zeros((n, 3, 3))
+    R[:, 0, 0] = np.cos(yaw)
+    R[:, 0, 1] = -np.sin(yaw)
+    R[:, 1, 0] = np.sin(yaw)
+    R[:, 1, 1] = np.cos(yaw)
+    R[:, 2, 2] = 1.0
+    return t, p, R
+
+
+class TestAlignment:
+    @pytest.mark.parametrize("method,scale", [("se3", 1.0), ("sim3", 1.7)])
+    def test_recovers_transform(self, method, scale):
+        t, p, R = make_traj()
+        rng = np.random.default_rng(1)
+        w = rng.normal(size=3)
+        from scipy.spatial.transform import Rotation as Rot
+        R_true = Rot.from_rotvec(w).as_matrix()
+        t_true = rng.normal(size=3) * 10
+        # est = transform applied to gt (so aligning est onto gt inverts it)
+        p_est = (np.linalg.inv(R_true) @ ((p - t_true).T / scale)).T
+        R_est = np.einsum("ij,njk->nik", np.linalg.inv(R_true), R)
+        s, Ra, ta = align_trajectory(p_est, p, method)
+        p_a, _ = apply_alignment(p_est, R_est, s, Ra, ta)
+        np.testing.assert_allclose(p_a, p, atol=1e-9)
+        assert s == pytest.approx(scale, rel=1e-9)
+
+    def test_posyaw_recovers_yaw_only(self):
+        t, p, R = make_traj()
+        yaw = 0.7
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+        p_est = (Rz.T @ (p - np.array([1.0, 2.0, 3.0])).T).T
+        s, Ra, ta = align_trajectory(p_est, p, "posyaw")
+        p_a, _ = apply_alignment(p_est, R, s, Ra, ta)
+        np.testing.assert_allclose(p_a, p, atol=1e-9)
+
+
+class TestMetrics:
+    def test_ate_zero_for_identical(self):
+        _, p, R = make_traj()
+        o, e = metrics.ate(p, R, p, R, method="se3")
+        assert o.rmse < 1e-9 and e.rmse < 1e-9
+
+    def test_ate_detects_offset_after_none(self):
+        _, p, R = make_traj()
+        o, e = metrics.ate(p + 0.1, R, p, R, method="none")
+        assert e.rmse == pytest.approx(np.sqrt(3) * 0.1, rel=1e-6)
+
+    def test_rpe_zero_for_identical(self):
+        _, p, R = make_traj(400)
+        seg = metrics.rpe(p, R, p, R, segment_lengths=(8.0, 16.0))
+        for L, (so, sp) in seg.items():
+            # arccos near 1 has sqrt-of-eps sensitivity: 1e-6 deg is "zero"
+            assert so.rmse < 1e-5 and sp.rmse < 1e-9
+
+    def test_nees_unit_for_matched_noise(self):
+        rng = np.random.default_rng(3)
+        n = 2000
+        sig_th, sig_p = 0.01, 0.05
+        _, p, R = make_traj(n)
+        from scipy.spatial.transform import Rotation as Rot
+        dth = rng.normal(size=(n, 3)) * sig_th
+        dp = rng.normal(size=(n, 3)) * sig_p
+        # gt = est perturbed consistently with the JPL-left convention:
+        # δθ = -log(R_gt R_estᵀ)  →  R_gt = exp(-δθ) R_est
+        R_gt = np.einsum("nij,njk->nik", Rot.from_rotvec(-dth).as_matrix(), R)
+        p_gt = p + dp
+        cov6 = np.tile(np.diag([sig_th**2] * 3 + [sig_p**2] * 3), (n, 1, 1))
+        so, sp_, sf = metrics.nees(p, R, p_gt, R_gt, cov6)
+        assert so.mean == pytest.approx(3.0, rel=0.1)
+        assert sp_.mean == pytest.approx(3.0, rel=0.1)
+        assert sf.mean == pytest.approx(6.0, rel=0.1)
+
+
+class TestIO:
+    def test_tum_roundtrip(self, tmp_path):
+        t, p, R = make_traj(50)
+        q = traj_io.rot_to_quat_xyzw(R)
+        path = tmp_path / "traj.txt"
+        traj_io.save_tum(path, t, p, q)
+        t2, p2, q2 = traj_io.load_tum(path)
+        np.testing.assert_allclose(t2, t, atol=1e-8)
+        np.testing.assert_allclose(p2, p, atol=1e-5)
+        R2 = traj_io.quat_xyzw_to_rot(q2)
+        np.testing.assert_allclose(R2, R, atol=1e-5)
+
+    def test_quat_rot_roundtrip(self):
+        rng = np.random.default_rng(4)
+        q = rng.normal(size=(100, 4))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        R = traj_io.quat_xyzw_to_rot(q)
+        q2 = traj_io.rot_to_quat_xyzw(R)
+        dot = np.abs(np.sum(q * q2, axis=1))
+        np.testing.assert_allclose(dot, 1.0, atol=1e-12)
+
+    def test_euroc_conversion(self, tmp_path):
+        csv = tmp_path / "data.csv"
+        with open(csv, "w") as f:
+            f.write("#timestamp,p,q,v,bw,ba\n")
+            for i in range(5):
+                tns = int(1.4e18) + i * int(5e7)
+                f.write(f"{tns},1.0,2.0,{i*0.1},1.0,0.0,0.0,0.0,"
+                        "0.1,0.2,0.3,0.001,0.002,0.003,0.01,0.02,0.03\n")
+        out = tmp_path / "out.txt"
+        traj_io.euroc_to_tum(csv, out)
+        t, p, q = traj_io.load_tum(out)
+        assert len(t) == 5
+        np.testing.assert_allclose(p[:, 0], 1.0)
+        np.testing.assert_allclose(q[0], [0, 0, 0, 1], atol=1e-9)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

@@ -1,0 +1,70 @@
+"""Closed-loop test of the SLAM landmark pipeline (delayed init, updates,
+eviction) — the ov_slam configuration (UpdaterSLAM parity).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.models import runner
+from open_vins_tpu.models import triangulation as tri
+from open_vins_tpu.ops import lie
+from open_vins_tpu.sim import simulator
+
+PARAMS = simulator.SimParams(
+    imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=45,
+    map_size=1024, duration=8.0, sigma_pix=1.0,
+)
+CFG = FilterConfig(max_clones=11, max_slam=12, num_cams=1,
+                   max_msckf_in_update=30)
+TRI = tri.TriangulationOptions()
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    sim = simulator.build(PARAMS, seed=21)
+    run = runner.stage_run(sim, PARAMS)
+    state, outs = jax.jit(
+        lambda r: runner.run_filter(CFG, TRI, sim, PARAMS, r)
+    )(run)
+    return sim, run, state, outs
+
+
+class TestSlam:
+    def test_landmarks_initialize_and_update(self, slam_run):
+        _, _, state, outs = slam_run
+        diag = outs[4]
+        n_slam = np.array(diag.n_slam)
+        n_used = np.array(diag.n_slam_used)
+        assert n_slam[30:].mean() > 4, f"too few landmarks: {n_slam[30:].mean()}"
+        assert n_used[30:].mean() > 2, f"landmarks not updating: {n_used[30:].mean()}"
+
+    def test_landmark_positions_near_map(self, slam_run):
+        sim, _, state, _ = slam_run
+        ids = np.array(state.slam_id)
+        valid = np.array(state.slam_valid)
+        assert valid.sum() > 0
+        est = np.array(state.slam_p)[valid]
+        true = np.array(sim.map_pts)[ids[valid]]
+        err = np.linalg.norm(est - true, axis=1)
+        assert np.median(err) < 0.15, f"landmark error median {np.median(err):.3f} m"
+
+    def test_accuracy_with_slam(self, slam_run):
+        _, run, state, outs = slam_run
+        qs, ps = outs[0], outs[1]
+        gt_p = np.array(run.gt_p)[1:]
+        perr = np.array(ps) - gt_p
+        rmse_p = np.sqrt((perr**2).sum(1).mean())
+        assert rmse_p < 0.10, f"position RMSE with SLAM: {rmse_p:.3f} m"
+        assert np.all(np.isfinite(np.array(state.cov)))
+
+    def test_covariance_psd(self, slam_run):
+        _, _, state, _ = slam_run
+        d = np.diagonal(np.array(state.cov))
+        assert d.min() > -1e-7, f"negative diagonal {d.min()}"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
