@@ -15,6 +15,10 @@ import time
 import os
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# TPU-scoped persistent compile cache (first driver run pays the compile,
+# reruns start in seconds); safe because bench always runs on the same
+# platform.
+os.environ.setdefault("OVT_JAX_CACHE", os.path.expanduser("~/.cache/ovt_tpu_cache"))
 
 
 def main():
@@ -25,18 +29,23 @@ def main():
     from open_vins_tpu.core.layout import FilterConfig
     from open_vins_tpu.models import runner
     from open_vins_tpu.models import triangulation as tri
-    from open_vins_tpu.sim import simulator
+    from open_vins_tpu.sim import simulator, trajectories
 
-    # reference real-time operating point: 200 pts, 11 clones, 20 Hz cam
+    # reference real-time operating point: 200 pts, 11 clones, 20 Hz cam,
+    # on the reference's own flagship sim trajectory when available
     params = simulator.SimParams(
         imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=100,
-        map_size=2048, duration=20.0, sigma_pix=1.0,
+        map_size=2048, duration=20.0, sigma_pix=1.0, start_offset=3.0,
     )
     cfg = FilterConfig(max_clones=11, max_slam=0, num_cams=1,
                        max_msckf_in_update=40)
     tri_opts = tri.TriangulationOptions()
 
-    sim = simulator.build(params, seed=0)
+    traj = None
+    gore = os.path.join(trajectories.REFERENCE_SIM_DIR, "udel_gore.txt")
+    if os.path.exists(gore):
+        traj = trajectories.load_trajectory_file(gore)
+    sim = simulator.build(params, seed=0, traj=traj)
     run = runner.stage_run(sim, params)
     jax.block_until_ready(run.frames.uv)
 

@@ -1,0 +1,242 @@
+"""TPU-native sparse pyramidal Lucas-Kanade tracking + grid corner detection.
+
+Capability parity with the reference visual front-end (ov_core/src/track/):
+  * TrackKLT (TrackKLT.cpp:34-886): CLAHE-free histogram-equalized pyramids,
+    pyramidal LK with initial-flow warm start, per-cell grid detection with
+    minimum pixel distance dedup and top-off,
+  * Grider_GRID / Grider_FAST (Grider_GRID.h:46-74): image divided into
+    grid_x × grid_y cells, best corners per cell,
+  * the fundamental-matrix RANSAC outlier rejection lives in
+    frontend/ransac.py.
+
+TPU-first design: everything is fixed-shape and batched —
+  * pyramids via 2x2 average pooling (lax.reduce_window),
+  * Shi-Tomasi corner response computed densely with separable convs (VPU),
+    then per-cell argmax via reshape (no data-dependent loops),
+  * per-feature LK iterations vmapped over the feature axis; patch sampling
+    is bilinear gather; the iteration count is static with convergence masks.
+
+Images are float32 [H, W] in [0, 1].
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KltParams(NamedTuple):
+    num_pyr: int = 4  # pyramid levels (TrackKLT pyr_levels)
+    win: int = 10  # half window -> patch (2*win+1)^2 (win_size 21x21)
+    iters: int = 10  # LK iterations per level
+    min_eig: float = 1e-4  # minimum GN conditioning
+    max_flow: float = 40.0  # per-level divergence guard (pixels)
+    grid_x: int = 10  # detection grid (grid_x × grid_y cells)
+    grid_y: int = 8
+    min_px_dist: int = 10  # occupancy dedup radius
+    num_features: int = 200
+
+
+def build_pyramid(img, levels):
+    """[H,W] -> list of levels (2x2 average pooled)."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        x = pyr[-1]
+        h2, w2 = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+        x = x[:h2, :w2]
+        x = 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2])
+        pyr.append(x)
+    return pyr
+
+
+def _grad(img):
+    """Central-difference gradients (Scharr-lite), same shape."""
+    gx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    gy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    return gx, gy
+
+
+def _bilinear(img, y, x):
+    """Bilinear sample img at float coords (y [..],x [..]), clamped."""
+    H, W = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = x - x0
+    dy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x0i + 1]
+    v10 = img[y0i + 1, x0i]
+    v11 = img[y0i + 1, x0i + 1]
+    return (
+        v00 * (1 - dy) * (1 - dx)
+        + v01 * (1 - dy) * dx
+        + v10 * dy * (1 - dx)
+        + v11 * dy * dx
+    )
+
+
+def _track_level(img0, img1, gx0, gy0, pts0, guess, params: KltParams):
+    """One pyramid level of LK for all features.
+
+    pts0: [N,2] (x,y) in this level's coords; guess: [N,2] current flow.
+    Returns (flow [N,2], ok [N]).
+    """
+    w = params.win
+    offs = jnp.arange(-w, w + 1, dtype=img0.dtype)
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")  # [P,P]
+
+    def one(pt, g):
+        px = pt[0] + ox
+        py = pt[1] + oy
+        t0 = _bilinear(img0, py, px)
+        ix = _bilinear(gx0, py, px)
+        iy = _bilinear(gy0, py, px)
+        # structure tensor (constant per feature at this level)
+        a = jnp.sum(ix * ix)
+        b = jnp.sum(ix * iy)
+        c = jnp.sum(iy * iy)
+        det = a * c - b * b
+        tr = a + c
+        min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+        npix = (2 * w + 1) ** 2
+        cond_ok = min_eig / npix > params.min_eig
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+
+        def body(_, flow):
+            t1 = _bilinear(img1, py + flow[1], px + flow[0])
+            e = t1 - t0
+            bx = jnp.sum(e * ix)
+            by = jnp.sum(e * iy)
+            du = inv_det * (c * bx - b * by)
+            dv = inv_det * (-b * bx + a * by)
+            return flow - jnp.asarray([du, dv])
+
+        flow = jax.lax.fori_loop(0, params.iters, body, g)
+        ok = cond_ok & (jnp.linalg.norm(flow - g) < params.max_flow)
+        return flow, ok
+
+    return jax.vmap(one)(pts0, guess)
+
+
+def track(img0, img1, pts0, params: KltParams, initial_flow=None):
+    """Pyramidal LK: track pts0 [N,2] (x,y) from img0 to img1.
+
+    Returns (pts1 [N,2], ok [N]).  Mirrors TrackKLT::perform_matching's
+    calcOpticalFlowPyrLK call (TrackKLT.cpp:829-886) with initial-flow
+    warm start.
+    """
+    L = params.num_pyr
+    pyr0 = build_pyramid(img0, L)
+    pyr1 = build_pyramid(img1, L)
+    grads = [_grad(p) for p in pyr0]
+
+    N = pts0.shape[0]
+    flow = (initial_flow if initial_flow is not None
+            else jnp.zeros((N, 2), dtype=img0.dtype)) / (2.0 ** (L - 1))
+    ok_all = jnp.ones((N,), dtype=bool)
+    for lev in range(L - 1, -1, -1):
+        scale = 2.0**lev
+        pts_l = pts0 / scale
+        flow, ok = _track_level(
+            pyr0[lev], pyr1[lev], grads[lev][0], grads[lev][1], pts_l, flow,
+            params,
+        )
+        ok_all = ok_all & ok
+        if lev > 0:
+            flow = flow * 2.0
+    pts1 = pts0 + flow
+    H, W = img0.shape
+    inb = (
+        (pts1[:, 0] > 2) & (pts1[:, 0] < W - 3)
+        & (pts1[:, 1] > 2) & (pts1[:, 1] < H - 3)
+    )
+    return pts1, ok_all & inb
+
+
+def shi_tomasi_response(img, win=2):
+    """Dense min-eigenvalue corner response (goodFeaturesToTrack analog)."""
+    gx, gy = _grad(img)
+    ixx, ixy, iyy = gx * gx, gx * gy, gy * gy
+
+    def boxsum(x):
+        k = 2 * win + 1
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (k, k), (1, 1), "SAME"
+        )
+
+    a, b, c = boxsum(ixx), boxsum(ixy), boxsum(iyy)
+    tr = a + c
+    det = a * c - b * b
+    return 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+
+
+def detect_grid(img, occupancy_pts, occupancy_mask, params: KltParams,
+                max_new: int):
+    """Grid-based corner detection with occupancy dedup.
+
+    Mirrors TrackKLT::perform_detection_monocular (TrackKLT.cpp:395-529) +
+    Grider_GRID: split the image into grid cells, take the best corner per
+    cell that is not within min_px_dist of an existing feature, return the
+    top `max_new` across cells.
+
+    Returns (pts [max_new, 2], ok [max_new]).
+    """
+    H, W = img.shape
+    resp = shi_tomasi_response(img)
+    # suppress borders
+    border = 8
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inb = (
+        (xx >= border) & (xx < W - border) & (yy >= border) & (yy < H - border)
+    )
+    resp = jnp.where(inb, resp, -1.0)
+
+    # occupancy mask: zero response near existing features
+    cell = params.min_px_dist
+    gw, gh = (W + cell - 1) // cell, (H + cell - 1) // cell
+    occ = jnp.zeros((gh, gw), dtype=bool)
+    ox = jnp.clip((occupancy_pts[:, 0] / cell).astype(jnp.int32), 0, gw - 1)
+    oy = jnp.clip((occupancy_pts[:, 1] / cell).astype(jnp.int32), 0, gh - 1)
+    occ = occ.at[oy, ox].max(occupancy_mask)
+    occ_full = occ[
+        jnp.clip(yy // cell, 0, gh - 1), jnp.clip(xx // cell, 0, gw - 1)
+    ]
+    resp = jnp.where(occ_full, -1.0, resp)
+
+    # per-cell best corner: pad to multiples of the cell grid then argmax
+    ch = (H + params.grid_y - 1) // params.grid_y
+    cw = (W + params.grid_x - 1) // params.grid_x
+    Hp, Wp = ch * params.grid_y, cw * params.grid_x
+    rp = jnp.full((Hp, Wp), -1.0, dtype=resp.dtype).at[:H, :W].set(resp)
+    cells = rp.reshape(params.grid_y, ch, params.grid_x, cw)
+    cells = cells.transpose(0, 2, 1, 3).reshape(-1, ch * cw)
+    best = jnp.argmax(cells, axis=1)
+    best_val = jnp.take_along_axis(cells, best[:, None], axis=1)[:, 0]
+    cy = best // cw
+    cx = best % cw
+    gy = jnp.arange(params.grid_y * params.grid_x) // params.grid_x
+    gx = jnp.arange(params.grid_y * params.grid_x) % params.grid_x
+    px = (gx * cw + cx).astype(img.dtype)
+    py = (gy * ch + cy).astype(img.dtype)
+
+    k = min(max_new, px.shape[0])
+    val, idx = jax.lax.top_k(best_val, k)
+    pts = jnp.stack([px[idx], py[idx]], axis=1)
+    ok = val > 1e-6
+    if k < max_new:
+        pts = jnp.concatenate([pts, jnp.zeros((max_new - k, 2), img.dtype)])
+        ok = jnp.concatenate([ok, jnp.zeros((max_new - k,), bool)])
+    return pts, ok
+
+
+def equalize(img):
+    """Global contrast normalization (the reference's histogram-equalize
+    role, TrackKLT.cpp:56-75; a rank-free approximation that is TPU-cheap)."""
+    lo = jnp.percentile(img, 2.0)
+    hi = jnp.percentile(img, 98.0)
+    return jnp.clip((img - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)

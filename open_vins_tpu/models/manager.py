@@ -68,15 +68,21 @@ def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTabl
     slot_idx = jnp.tile(jnp.arange(C, dtype=jnp.int32)[:, None], (1, N)).reshape(O)
     cam_idx = jnp.tile(jnp.arange(N, dtype=jnp.int32)[None, :], (C, 1)).reshape(O)
 
-    # camera pose for every (slot, cam): R_GtoC = R_ItoC R_GtoI ; p_CinG
-    R_GtoI = lie.quat_2_rot(state.clones_q)  # [C,3,3]
-    R_ItoC = lie.quat_2_rot(state.calib_ext_q)  # [N,3,3]
-    R_GtoC = jnp.einsum("nij,cjk->cnik", R_ItoC, R_GtoI).reshape(O, 3, 3)
-    # p_CinG = p_I - R_ItoG R_ItoC^T p_IinC  (from p_C = R_ItoC(R_GtoI(p-p_I))+p_IinC)
-    R_ItoG = jnp.swapaxes(R_GtoI, -1, -2)  # [C,3,3]
-    off = jnp.einsum("cij,njk,nk->cni", R_ItoG, jnp.swapaxes(R_ItoC, -1, -2),
-                     state.calib_ext_p)
-    p_CinG = (state.clones_p[:, None, :] - off).reshape(O, 3)
+    # camera pose for every (slot, cam): R_GtoC = R_ItoC R_GtoI and
+    # p_CinG = p_I - R_ItoG R_ItoCᵀ p_IinC
+    # (deliberately plain per-obs 3x3 matmuls under vmap: an einsum-based
+    # formulation produced corrupted rotations inside large compiled
+    # programs on the axon TPU backend — see round-1 debugging notes)
+    def cam_pose(slot, cam):
+        R_GtoI_s = lie.quat_2_rot(state.clones_q[slot])
+        R_ItoC_c = lie.quat_2_rot(state.calib_ext_q[cam])
+        R = R_ItoC_c @ R_GtoI_s
+        p = state.clones_p[slot] - R_GtoI_s.T @ (
+            R_ItoC_c.T @ state.calib_ext_p[cam]
+        )
+        return R, p
+
+    R_GtoC, p_CinG = jax.vmap(cam_pose)(slot_idx, cam_idx)
 
     def per_row(r):
         valid_row = r < table.ids.shape[0]

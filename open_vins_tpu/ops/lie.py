@@ -22,17 +22,16 @@ _EPS = 1e-12
 
 
 def skew(v):
-    """[v]_x skew-symmetric matrix. v: (..., 3) -> (..., 3, 3)."""
+    """[v]_x skew-symmetric matrix. v: (..., 3) -> (..., 3, 3).
+
+    Implementation note: built as one flat 9-element stack + reshape.  The
+    nested stack-of-stacks formulation miscompiled (axis-permuted rows) on
+    the experimental axon TPU backend inside large fused programs.
+    """
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
     zero = jnp.zeros_like(x)
-    return jnp.stack(
-        [
-            jnp.stack([zero, -z, y], axis=-1),
-            jnp.stack([z, zero, -x], axis=-1),
-            jnp.stack([-y, x, zero], axis=-1),
-        ],
-        axis=-2,
-    )
+    flat = jnp.stack([zero, -z, y, z, zero, -x, -y, x, zero], axis=-1)
+    return flat.reshape(v.shape[:-1] + (3, 3))
 
 
 def unskew(m):
@@ -61,15 +60,22 @@ def quat_inv(q):
 
 
 def quat_2_rot(q):
-    """JPL quaternion -> rotation matrix (global-to-local)."""
-    qv, w = q[..., :3], q[..., 3]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape[:-1] + (3, 3))
-    outer = qv[..., :, None] * qv[..., None, :]
-    return (
-        (2.0 * w**2 - 1.0)[..., None, None] * eye
-        - 2.0 * w[..., None, None] * skew(qv)
-        + 2.0 * outer
+    """JPL quaternion -> rotation matrix (global-to-local).
+
+    R = (2w²-1)I - 2w⌊q_v⌋ + 2 q_v q_vᵀ, written element-wise as one flat
+    stack + reshape (see `skew` for why).
+    """
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    d = 2.0 * w * w - 1.0
+    flat = jnp.stack(
+        [
+            d + 2.0 * x * x, 2.0 * (w * z + x * y), 2.0 * (x * z - w * y),
+            2.0 * (x * y - w * z), d + 2.0 * y * y, 2.0 * (w * x + y * z),
+            2.0 * (w * y + x * z), 2.0 * (y * z - w * x), d + 2.0 * z * z,
+        ],
+        axis=-1,
     )
+    return flat.reshape(q.shape[:-1] + (3, 3))
 
 
 def rot_2_quat(R):

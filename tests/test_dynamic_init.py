@@ -1,0 +1,119 @@
+"""Dynamic initializer test: simulator data -> DynamicInitializer -> compare
+to groundtruth (test_dynamic_init parity, ov_init/src/test_dynamic_init.cpp).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_vins_tpu.init import dynamic_init
+from open_vins_tpu.ops import lie
+from open_vins_tpu.sim import simulator
+
+PARAMS = simulator.SimParams(
+    imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=30, map_size=512,
+    duration=4.0, sigma_pix=1.0,
+)
+
+
+def build_input(sim, params, n_pose=6, window=2.0, seed=0):
+    """Assemble a DynInitInput from the simulator over [0, window]."""
+    frames_per_pose = int(window * params.cam_rate / (n_pose - 1))
+    frame_idx = [k * frames_per_pose for k in range(n_pose)]
+    t_pose = jnp.asarray([k / params.cam_rate for k in frame_idx])
+    ipc = simulator.imu_per_cam(params)
+    K = frames_per_pose * ipc + 1
+
+    imu_t, imu_w, imu_a = [], [], []
+    for s in range(n_pose - 1):
+        i0 = frame_idx[s] * ipc
+        steps = range(i0, i0 + K)
+        samples = [simulator.get_imu(sim, params, n) for n in steps]
+        imu_t.append([float(x.t) for x in samples])
+        imu_w.append(np.stack([np.array(x.wm) for x in samples]))
+        imu_a.append(np.stack([np.array(x.am) for x in samples]))
+
+    cams = [simulator.get_cam(sim, params, k) for k in frame_idx]
+    # collect features seen in >= half of the poses
+    from collections import defaultdict
+    obs = defaultdict(dict)
+    for k, c in enumerate(cams):
+        ids = np.array(c.ids[0])
+        uvn = np.array(c.uvs_norm[0])
+        mask = np.array(c.mask[0])
+        for j in range(len(ids)):
+            if mask[j] and ids[j] >= 0:
+                obs[int(ids[j])][k] = uvn[j]
+    feats = [fid for fid, d in obs.items() if len(d) >= n_pose // 2 + 1]
+    F = min(len(feats), 25)
+    uvn_arr = np.zeros((F, n_pose, 2), np.float32)
+    m_arr = np.zeros((F, n_pose), bool)
+    for fi, fid in enumerate(feats[:F]):
+        for k, uv in obs[fid].items():
+            uvn_arr[fi, k] = uv
+            m_arr[fi, k] = True
+
+    return dynamic_init.DynInitInput(
+        t_pose=t_pose,
+        imu_t=jnp.asarray(np.array(imu_t), jnp.float32),
+        imu_w=jnp.asarray(np.array(imu_w), jnp.float32),
+        imu_a=jnp.asarray(np.array(imu_a), jnp.float32),
+        uvn=jnp.asarray(uvn_arr),
+        obs_mask=jnp.asarray(m_arr),
+        R_ItoC=sim.cam_R_ItoC[0],
+        p_IinC=sim.cam_p_IinC[0],
+    )
+
+
+class TestDynamicInit:
+    def test_recovers_state(self):
+        sim = simulator.build(PARAMS, seed=11)
+        inp = build_input(sim, PARAMS)
+        opts = dynamic_init.DynamicInitOptions()
+        res = jax.jit(lambda i: dynamic_init.initialize(i, opts))(inp)
+        assert bool(res.success), "dynamic init did not converge"
+
+        t_last = float(inp.t_pose[-1])
+        q_gt, p_gt, v_gt, bg_gt, ba_gt = simulator.get_state(
+            sim, PARAMS, jnp.asarray(t_last)
+        )
+        # velocity: a 2 s window leaves a scale/bias ambiguity (the reference
+        # has the same observability limit) — require |v| within 20% and the
+        # recovered covariance to actually cover the error (consistency).
+        v_est = np.array(res.v)
+        v_true = np.array(v_gt)
+        assert abs(np.linalg.norm(v_est) - np.linalg.norm(v_true)) < 0.25, \
+            f"|v| {np.linalg.norm(v_est)} vs {np.linalg.norm(v_true)}"
+        P_vv = np.array(res.cov15)[6:9, 6:9]
+        e_v_mag = abs(np.linalg.norm(v_est) - np.linalg.norm(v_true))
+        sigma_v = np.sqrt(np.trace(P_vv))
+        assert e_v_mag < 4.0 * sigma_v + 0.05, \
+            f"velocity error {e_v_mag} not covered by sigma {sigma_v}"
+
+        # gravity direction in the last body frame must match
+        g_body_est = np.array(lie.quat_2_rot(res.q_GtoI)) @ np.array([0, 0, 1.0])
+        g_body_true = np.array(lie.quat_2_rot(q_gt)) @ np.array([0, 0, 1.0])
+        assert np.dot(g_body_est, g_body_true) > 0.999, \
+            f"gravity dir {g_body_est} vs {g_body_true}"
+
+        # biases near truth (sim biases are ~1e-3 magnitude random walks)
+        assert np.linalg.norm(np.array(res.bg) - np.array(bg_gt)) < 0.02
+        assert np.linalg.norm(np.array(res.ba) - np.array(ba_gt)) < 0.25
+
+        # covariance must be positive definite and finite
+        c = np.array(res.cov15)
+        assert np.all(np.isfinite(c))
+        assert np.linalg.eigvalsh(c).min() > 0
+
+    def test_fails_gracefully_without_features(self):
+        sim = simulator.build(PARAMS, seed=12)
+        inp = build_input(sim, PARAMS)
+        inp = inp._replace(obs_mask=jnp.zeros_like(inp.obs_mask))
+        opts = dynamic_init.DynamicInitOptions()
+        res = dynamic_init.initialize(inp, opts)
+        assert not bool(res.success)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
