@@ -34,6 +34,7 @@ from open_vins_tpu.models import updater_slam as slam
 from open_vins_tpu.models import updater_zupt as zupt
 from open_vins_tpu.models.propagator import ImuWindow, propagate
 from open_vins_tpu.ops import lie
+from open_vins_tpu.ops.indexing import take1
 
 
 class FrameInput(NamedTuple):
@@ -74,11 +75,11 @@ def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTabl
     # formulation produced corrupted rotations inside large compiled
     # programs on the axon TPU backend — see round-1 debugging notes)
     def cam_pose(slot, cam):
-        R_GtoI_s = lie.quat_2_rot(state.clones_q[slot])
-        R_ItoC_c = lie.quat_2_rot(state.calib_ext_q[cam])
+        R_GtoI_s = lie.quat_2_rot(take1(state.clones_q, slot))
+        R_ItoC_c = lie.quat_2_rot(take1(state.calib_ext_q, cam))
         R = R_ItoC_c @ R_GtoI_s
-        p = state.clones_p[slot] - R_GtoI_s.T @ (
-            R_ItoC_c.T @ state.calib_ext_p[cam]
+        p = take1(state.clones_p, slot) - R_GtoI_s.T @ (
+            R_ItoC_c.T @ take1(state.calib_ext_p, cam)
         )
         return R, p
 

@@ -65,9 +65,11 @@ def triangulate_linear(obs: FeatureObs, opts: TriangulationOptions):
 
     Returns (p_f_global [3], valid, p_f_anchor [3], anchor_idx).
     """
+    from open_vins_tpu.ops.indexing import take1
+
     a = _anchor_index(obs)
-    R_GtoA = obs.R_GtoC[a]
-    p_AinG = obs.p_CinG[a]
+    R_GtoA = take1(obs.R_GtoC, a)
+    p_AinG = take1(obs.p_CinG, a)
 
     # per-obs pose relative to anchor
     R_AtoC = obs.R_GtoC @ R_GtoA.T  # [O,3,3]
@@ -121,9 +123,11 @@ def refine_gauss_newton(obs: FeatureObs, p_A, anchor_idx, opts: TriangulationOpt
     static iteration count (jit-friendly Levenberg schedule).
     Returns (p_A_refined, base_cost, final_cost).
     """
+    from open_vins_tpu.ops.indexing import take1
+
     a = anchor_idx
-    R_GtoA = obs.R_GtoC[a]
-    p_AinG = obs.p_CinG[a]
+    R_GtoA = take1(obs.R_GtoC, a)
+    p_AinG = take1(obs.p_CinG, a)
     R_AtoC = obs.R_GtoC @ R_GtoA.T
     p_CinA = (R_GtoA @ (obs.p_CinG - p_AinG)[..., None])[..., 0]
     # camera positions in anchor & anchor->cam transforms

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from open_vins_tpu.core.layout import FilterConfig
 from open_vins_tpu.core.state import VioState
 from open_vins_tpu.ops import cameras, lie
+from open_vins_tpu.ops.indexing import take1
 
 
 class GatheredObs(NamedTuple):
@@ -56,16 +57,17 @@ def feature_jacobian(
     dtype = state.cov.dtype
 
     def one_obs(slot, cam, uv, valid):
-        # gather clone + calib (current and FEJ linearization values)
-        q_c = state.clones_q[slot]
-        p_c = state.clones_p[slot]
-        q_c_fej = state.clones_q_fej[slot] if cfg.use_fej else q_c
-        p_c_fej = state.clones_p_fej[slot] if cfg.use_fej else p_c
+        # gather clone + calib (current and FEJ linearization values);
+        # take1 = gather-free lookup (axon small-gather miscompile workaround)
+        q_c = take1(state.clones_q, slot)
+        p_c = take1(state.clones_p, slot)
+        q_c_fej = take1(state.clones_q_fej, slot) if cfg.use_fej else q_c
+        p_c_fej = take1(state.clones_p_fej, slot) if cfg.use_fej else p_c
         R_GtoI = lie.quat_2_rot(q_c)
         R_GtoI_fej = lie.quat_2_rot(q_c_fej)
-        R_ItoC = lie.quat_2_rot(state.calib_ext_q[cam])
-        p_IinC = state.calib_ext_p[cam]
-        zeta = state.calib_intr[cam]
+        R_ItoC = lie.quat_2_rot(take1(state.calib_ext_q, cam))
+        p_IinC = take1(state.calib_ext_p, cam)
+        zeta = take1(state.calib_intr, cam)
 
         # prediction with current estimates
         p_FinI = R_GtoI @ (p_f - p_c)

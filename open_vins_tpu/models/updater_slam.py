@@ -136,17 +136,22 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     row = jnp.argmax(eq, axis=1)
     has_row = jnp.any(eq, axis=1) & state.slam_valid & (state.slam_id >= 0)
 
+    from open_vins_tpu.ops.indexing import take1
+
     def per_landmark(slot):
         r = row[slot]
+        # big-table row gather is fine; the [C]-dim head lookup uses take1
+        # (axon small-gather miscompile workaround)
         obs = uh.GatheredObs(
             clone_slot=jnp.full((N,), head, dtype=jnp.int32),
             cam=jnp.arange(N, dtype=jnp.int32),
-            uv=table.uv[r, head],  # [N, 2]
-            uvn=table.uvn[r, head],
-            mask=table.mask[r, head] & has_row[slot],
+            uv=take1(table.uv[r], head),  # [N, 2]
+            uvn=take1(table.uvn[r], head),
+            mask=take1(table.mask[r], head) & has_row[slot],
         )
         H_x, H_f, res, row_mask = uh.feature_jacobian(
-            state, cfg, obs, state.slam_p[slot], state.slam_p_fej[slot]
+            state, cfg, obs, take1(state.slam_p, slot),
+            take1(state.slam_p_fej, slot)
         )
         # place H_f at the landmark's own columns
         off = cfg.slam_off + 3 * slot

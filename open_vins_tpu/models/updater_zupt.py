@@ -116,6 +116,8 @@ def frame_disparity(table, cfg: FilterConfig, head_slot, ids, uv, meas_mask):
     """Average pixel disparity between the incoming frame and the previous
     frame's observations (FeatureHelper::compute_disparity parity,
     FeatureHelper.h:60-123)."""
+    from open_vins_tpu.ops.indexing import take1
+
     total = jnp.zeros(())
     count = jnp.zeros(())
     for cam in range(cfg.num_cams):
@@ -123,8 +125,9 @@ def frame_disparity(table, cfg: FilterConfig, head_slot, ids, uv, meas_mask):
         eq = table.ids[:, None] == cam_ids[None, :]  # [T, P]
         row = jnp.argmax(eq, axis=0)
         has = jnp.any(eq, axis=0) & meas_mask[cam] & (cam_ids >= 0)
-        prev_uv = table.uv[row, head_slot, cam]
-        prev_ok = table.mask[row, head_slot, cam]
+        # row gather on the big table dim, then a gather-free head lookup
+        prev_uv = take1(jnp.swapaxes(table.uv[row, :, cam], 0, 1), head_slot)
+        prev_ok = take1(jnp.swapaxes(table.mask[row, :, cam], 0, 1), head_slot)
         d = jnp.linalg.norm(uv[cam] - prev_uv, axis=-1)
         ok = has & prev_ok
         total = total + jnp.sum(jnp.where(ok, d, 0.0))
