@@ -118,9 +118,11 @@ def rot_2_quat(R):
     cands = jnp.stack([cw, cx, cy, cz], axis=-1)
     idx = jnp.argmax(cands, axis=-1)
     qs = jnp.stack([q_w, q_x, q_y, q_z], axis=-2)  # (..., 4, 4)
-    q = jnp.take_along_axis(qs, idx[..., None, None].astype(jnp.int32), axis=-2)[
-        ..., 0, :
-    ]
+    # pivot selection via one-hot sum, NOT take_along_axis: small-array
+    # gathers miscompile on the axon TPU backend inside large programs
+    # (this very gather returned rolled garbage — round-1 debugging)
+    onehot = (jnp.arange(4) == idx[..., None]).astype(q_w.dtype)
+    q = jnp.sum(qs * onehot[..., None], axis=-2)
     return quat_norm(q)
 
 
