@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--num-pts", type=int, default=150)
+    ap.add_argument("--timing", default="", help="write per-frame timing CSV")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +112,9 @@ def main():
     step = jax.jit(lambda s, t, f: manager.step_frame(s, t, cfg, tri_opts, f))
     K_win = int(vc.imu.rate / 10) + 8
 
+    from open_vins_tpu.utils.timing import FrameTimer
+
+    timer = FrameTimer(args.timing or None)
     n_frames = len(cam_t) if args.max_frames == 0 else min(
         len(cam_t), init_k + 1 + args.max_frames)
     out_t, out_p, out_q = [], [], []
@@ -118,18 +122,22 @@ def main():
     t_start = time.time()
     for k in range(init_k, n_frames):
         tk = cam_t[k] - t0
+        timer.start_frame()
         img = ds.load_image(0, k)
         if img is None:
             continue
         tstate, ids, uv, uvn, mask = tracker.track_frame(
             tstate, jnp.asarray(img), zeta, kparams,
             first_frame=(k == init_k))
+        mask.block_until_ready()
+        timer.stage("tracking")
         if k == init_k:
             t_prev = tk
             continue
         n, wt, ww, wa = hub.make_window(t_prev, tk, K_win)
         if n <= 0:
             continue
+        timer.stage("propagation")  # native window packing
         frame = manager.FrameInput(
             win=ImuWindow(t=jnp.asarray(wt, jnp.float32),
                           w=jnp.asarray(ww, jnp.float32),
@@ -138,6 +146,9 @@ def main():
             ids=ids[None], uv=uv[None], uvn=uvn[None], mask=mask[None],
         )
         state, table, diag = step(state, table, frame)
+        state.cov.block_until_ready()
+        timer.stage("msckf")  # fused propagate+update device step
+        timer.end_frame(tk + t0)
         t_prev = tk
         q_ItoG_h = traj_io.rot_to_quat_xyzw(
             np.array(lie.quat_2_rot(state.q)).T[None])[0]
