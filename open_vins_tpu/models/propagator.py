@@ -162,6 +162,33 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
     )
 
 
+def fast_state_propagate(state: VioState, cfg: FilterConfig, win: ImuWindow):
+    """Mean-only propagation for IMU-rate odometry output.
+
+    Parity with Propagator::fast_state_propagate (Propagator.cpp:140-267):
+    publishes a high-rate pose between camera updates without touching the
+    covariance (the reference caches and invalidates; here the function is
+    pure, so no cache coherence is needed — just call it with the latest
+    window).  Returns (q, p, v) at win.t[-1].
+    """
+    dtype = state.cov.dtype
+    gravity = jnp.asarray([0.0, 0.0, cfg.gravity_mag], dtype=dtype)
+    K = win.t.shape[0]
+
+    def body(carry, k):
+        q, p, v = carry
+        dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
+        q2, p2, v2, _, _ = _step_mean(
+            q, p, v, state.bg, state.ba, win.w[k], win.a[k], win.w[k + 1],
+            win.a[k + 1], dt, gravity
+        )
+        return (q2, p2, v2), None
+
+    (q, p, v), _ = jax.lax.scan(body, (state.q, state.p, state.v),
+                                jnp.arange(K - 1))
+    return q, p, v
+
+
 def make_window(imu_t, imu_w, imu_a, t0, t1, K):
     """Host-side helper: slice + boundary-interpolate samples covering [t0,t1].
 
