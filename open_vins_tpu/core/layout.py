@@ -44,6 +44,8 @@ class FilterConfig(NamedTuple):
     # estimator behavior
     use_fej: bool = True
     use_zupt: bool = False  # zero-velocity updates (UpdaterZeroVelocity)
+    fast_compress: bool = True  # normal-eq compression instead of tall QR
+    # (information-equivalent; see update_helper.compress_system_cholesky)
     cam_model: str = "radtan"
     # noise (continuous-time densities, NoiseManager parity)
     sigma_w: float = 1.6968e-4

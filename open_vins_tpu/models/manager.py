@@ -171,7 +171,10 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     H_big = jnp.where(keep, H_proj, 0.0).reshape(-1, D)
     res_big = jnp.where(keep[..., 0], res_proj, 0.0).reshape(-1)
 
-    H_c, res_c = uh.compress_system(H_big, res_big, D)
+    if cfg.fast_compress:
+        H_c, res_c = uh.compress_system_cholesky(H_big, res_big, D)
+    else:
+        H_c, res_c = uh.compress_system(H_big, res_big, D)
     r_diag = jnp.full((D,), sigma**2, dtype=H_c.dtype)
     # guard: skip the update entirely when nothing passed
     any_ok = jnp.any(feat_ok)

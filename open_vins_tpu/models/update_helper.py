@@ -162,6 +162,31 @@ def compress_system(H, res, out_rows):
     return H_c, res_c
 
 
+def compress_system_cholesky(H, res, out_rows):
+    """Normal-equation compression: one MXU matmul + a [D,D] Cholesky.
+
+    Produces (H_c, res_c) with H_cᵀH_c = HᵀH and H_cᵀres_c = Hᵀres — an
+    information-equivalent system under isotropic noise, hence the same EKF
+    update as the QR path.  ~10x cheaper than tall Householder QR on TPU
+    (H is [m,D] with m up to ~8D).  Numerics: squares the condition number;
+    the diagonal jitter keeps the f32 Cholesky stable, and equivalence to
+    the QR path is covered by tests.
+    """
+    m, D = H.shape
+    assert out_rows >= D
+    G = H.T @ H  # [D,D], one MXU pass
+    g = H.T @ res
+    jitter = 1e-6 * (jnp.trace(G) / D + 1.0)
+    L = jnp.linalg.cholesky(G + jitter * jnp.eye(D, dtype=H.dtype))
+    H_c = L.T  # upper triangular, H_cᵀ H_c = G
+    res_c = jax.scipy.linalg.solve_triangular(L, g, lower=True)
+    pad = out_rows - D
+    if pad > 0:
+        H_c = jnp.concatenate([H_c, jnp.zeros((pad, D), H.dtype)])
+        res_c = jnp.concatenate([res_c, jnp.zeros((pad,), H.dtype)])
+    return H_c, res_c
+
+
 def chi2_statistic(state_cov, H, res, sigma):
     """γ = resᵀ (H P Hᵀ + σ²I)⁻¹ res for one feature's projected system.
 

@@ -1,0 +1,80 @@
+"""Equivalence of the fast normal-equation compression with the QR path:
+both must produce the same EKF update (information equivalence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_vins_tpu.core import ekf
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.models import update_helper as uh
+from tests.test_ekf import make_state, CFG
+
+
+def test_information_equivalence():
+    rng = np.random.default_rng(0)
+    D = CFG.state_dim
+    m = 6 * D
+    H = jnp.asarray(rng.normal(size=(m, D)) * 0.3, jnp.float32)
+    # zero some rows (padded features)
+    H = H.at[m // 2 :].mul(0.0)
+    res = jnp.asarray(rng.normal(size=m) * 0.05, jnp.float32)
+    res = res.at[m // 2 :].set(0.0)
+
+    Hq, rq = uh.compress_system(H, res, D)
+    Hc, rc = uh.compress_system_cholesky(H, res, D)
+
+    # same information matrices
+    np.testing.assert_allclose(
+        np.array(Hq.T @ Hq), np.array(Hc.T @ Hc), atol=2e-2, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.array(Hq.T @ rq), np.array(Hc.T @ rc), atol=5e-3, rtol=1e-3
+    )
+
+
+def test_same_ekf_update():
+    rng = np.random.default_rng(1)
+    st = make_state(seed=2)
+    D = CFG.state_dim
+    m = 4 * D
+    H = jnp.asarray(rng.normal(size=(m, D)) * 0.2, jnp.float32)
+    res = jnp.asarray(rng.normal(size=m) * 0.02, jnp.float32)
+    r_diag = jnp.ones(D, jnp.float32) * 1.0
+
+    Hq, rq = uh.compress_system(H, res, D)
+    Hc, rc = uh.compress_system_cholesky(H, res, D)
+    sq = ekf.ekf_update(st, CFG, Hq, rq, r_diag)
+    sc = ekf.ekf_update(st, CFG, Hc, rc, r_diag)
+    np.testing.assert_allclose(np.array(sq.p), np.array(sc.p), atol=2e-4)
+    np.testing.assert_allclose(np.array(sq.cov), np.array(sc.cov), atol=2e-3)
+
+
+def test_e2e_accuracy_preserved():
+    """The fast path must not change closed-loop accuracy."""
+    from open_vins_tpu.models import runner
+    from open_vins_tpu.models import triangulation as tri
+    from open_vins_tpu.sim import simulator
+
+    params = simulator.SimParams(imu_rate=200.0, cam_rate=20.0, num_cams=1,
+                                 num_pts=30, map_size=512, duration=5.0)
+    tri_opts = tri.TriangulationOptions()
+    sim = simulator.build(params, seed=9)
+    run = runner.stage_run(sim, params)
+    out = {}
+    for fast in [False, True]:
+        cfg = FilterConfig(max_clones=9, max_slam=0, num_cams=1,
+                           max_msckf_in_update=20, fast_compress=fast)
+        state, outs = jax.jit(
+            lambda r, c=cfg: runner.run_filter(c, tri_opts, sim, params, r)
+        )(run)
+        ps = np.array(outs[1])
+        gt = np.array(run.gt_p)[1:]
+        out[fast] = np.sqrt(((ps - gt) ** 2).sum(1).mean())
+    assert out[True] < out[False] * 1.3 + 0.01, f"fast path hurt RMSE: {out}"
+    assert out[True] < 0.15
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

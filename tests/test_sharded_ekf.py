@@ -1,0 +1,61 @@
+"""Sharded-covariance EKF update must match the single-device update
+exactly (8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_vins_tpu.core import ekf
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.core.state import init_state
+from open_vins_tpu.parallel import mesh as meshlib
+from open_vins_tpu.parallel import sharded_ekf
+
+# a state whose dimension is divisible by 8 for clean row sharding
+CFG = FilterConfig(max_clones=11, max_slam=25, num_cams=1)
+
+
+def make_state(seed=0):
+    rng = np.random.default_rng(seed)
+    st = init_state(CFG)
+    D = CFG.state_dim
+    A = rng.normal(size=(D, D)) * 0.1
+    cov = jnp.asarray(A @ A.T + 0.05 * np.eye(D), jnp.float32)
+    return st._replace(
+        cov=cov,
+        clone_valid=jnp.ones(CFG.max_clones, bool),
+        slam_valid=jnp.ones(CFG.max_slam, bool),
+        n_clones=jnp.asarray(CFG.max_clones, jnp.int32),
+        head=jnp.asarray(CFG.max_clones - 1, jnp.int32),
+    )
+
+
+def test_sharded_matches_dense():
+    D = CFG.state_dim
+    rng = np.random.default_rng(1)
+    st = make_state()
+    m = 64
+    H = jnp.asarray(rng.normal(size=(m, D)) * 0.2, jnp.float32)
+    res = jnp.asarray(rng.normal(size=m) * 0.02, jnp.float32)
+    r = jnp.full((m,), 0.01, jnp.float32)
+
+    ref = ekf.ekf_update(st, CFG, H, res, r)
+
+    mesh = meshlib.make_mesh((8,), ("x",))
+    st_sh = sharded_ekf.shard_state(st, mesh)
+    upd = sharded_ekf.sharded_ekf_update(mesh, CFG)
+    out = upd(st_sh, H, res, r)
+
+    D = CFG.state_dim
+    np.testing.assert_allclose(np.array(out.p), np.array(ref.p), atol=1e-5)
+    np.testing.assert_allclose(
+        np.array(out.cov)[:D, :D], np.array(ref.cov), atol=1e-4
+    )
+    # padding region must stay zero and the output actually sharded
+    assert np.allclose(np.array(out.cov)[D:, :], 0.0)
+    assert len(out.cov.sharding.device_set) == 8
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
