@@ -42,8 +42,11 @@ class FilterConfig(NamedTuple):
     calib_cam_extrinsics: bool = False
     calib_cam_intrinsics: bool = False
     # estimator behavior
+    integration: str = "rk4"  # "rk4" | "discrete" (StateOptions parity)
     use_fej: bool = True
     use_zupt: bool = False  # zero-velocity updates (UpdaterZeroVelocity)
+    feat_rep_slam: str = "GLOBAL_3D"  # | ANCHORED_3D |
+    # ANCHORED_MSCKF_INVERSE_DEPTH (LandmarkRepresentation parity)
     fast_compress: bool = True  # normal-eq compression instead of tall QR
     # (information-equivalent; see update_helper.compress_system_cholesky)
     cam_model: str = "radtan"

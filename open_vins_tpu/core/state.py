@@ -51,6 +51,8 @@ class VioState(NamedTuple):
     slam_valid: jax.Array  # [L] bool
     slam_fail: jax.Array  # [L] int32 accumulated chi2 failures (Landmark
     # update_fail_count parity, Landmark.h:49-64)
+    slam_anchor_slot: jax.Array  # [L] int32 anchor clone ring slot
+    slam_anchor_cam: jax.Array  # [L] int32 anchor camera index
     # calibration
     calib_dt: jax.Array  # scalar
     calib_ext_q: jax.Array  # [N, 4] R_ItoC as JPL quat
@@ -83,6 +85,8 @@ def init_state(cfg: FilterConfig, dtype=jnp.float32) -> VioState:
         slam_id=jnp.full((L,), -1, dtype=jnp.int32),
         slam_valid=jnp.zeros((L,), dtype=bool),
         slam_fail=jnp.zeros((L,), dtype=jnp.int32),
+        slam_anchor_slot=jnp.zeros((L,), dtype=jnp.int32),
+        slam_anchor_cam=jnp.zeros((L,), dtype=jnp.int32),
         calib_dt=jnp.zeros((), dtype=dtype),
         calib_ext_q=jnp.tile(qid, (N, 1)),
         calib_ext_p=jnp.zeros((N, 3), dtype=dtype),

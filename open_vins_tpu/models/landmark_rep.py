@@ -1,0 +1,141 @@
+"""Landmark parameterizations: GLOBAL_3D, ANCHORED_3D,
+ANCHORED_MSCKF_INVERSE_DEPTH — and the anchor-change transform.
+
+Capability parity with ov_core::LandmarkRepresentation
+(LandmarkRepresentation.h:38-45) and the representation Jacobians of
+UpdaterHelper::get_feature_jacobian_representation
+(UpdaterHelper.cpp:32-190, FEJ anchor handling :87-96), plus
+UpdaterSLAM::perform_anchor_change (UpdaterSLAM.cpp:481-647) re-derived as
+an exact covariance row transform.
+
+Conventions: the anchor is a (clone slot, camera) pair; the anchor camera
+frame A has R_GtoA = R_ItoC R_GtoI_A and p_AinG = p_I_A − R_ItoG_A R_ItoCᵀ
+p_IinC.  λ is the stored 3-vector whose meaning depends on the rep:
+  GLOBAL_3D:                   λ = p_FinG
+  ANCHORED_3D:                 λ = p_FinA
+  ANCHORED_MSCKF_INVERSE_DEPTH λ = (α, β, ρ) with p_FinA = (α/ρ, β/ρ, 1/ρ)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from open_vins_tpu.ops import lie
+
+GLOBAL_3D = "GLOBAL_3D"
+ANCHORED_3D = "ANCHORED_3D"
+ANCHORED_MSCKF_INVERSE_DEPTH = "ANCHORED_MSCKF_INVERSE_DEPTH"
+
+
+def is_anchored(rep: str) -> bool:
+    return rep != GLOBAL_3D
+
+
+def anchor_frame(q_clone, p_clone, q_ext, p_ext):
+    """(R_GtoA [3,3], p_AinG [3]) of the anchor camera."""
+    R_GtoI = lie.quat_2_rot(q_clone)
+    R_ItoC = lie.quat_2_rot(q_ext)
+    R_GtoA = R_ItoC @ R_GtoI
+    p_AinG = p_clone - R_GtoI.T @ (R_ItoC.T @ p_ext)
+    return R_GtoA, p_AinG
+
+
+def lam_to_pFinA(rep: str, lam):
+    if rep == ANCHORED_3D:
+        return lam
+    if rep == ANCHORED_MSCKF_INVERSE_DEPTH:
+        rho = jnp.where(jnp.abs(lam[2]) > 1e-8, lam[2], 1e-8)
+        return jnp.asarray([lam[0] / rho, lam[1] / rho, 1.0 / rho])
+    raise ValueError(rep)
+
+
+def pFinA_to_lam(rep: str, p_FinA):
+    if rep == ANCHORED_3D:
+        return p_FinA
+    if rep == ANCHORED_MSCKF_INVERSE_DEPTH:
+        z = jnp.where(jnp.abs(p_FinA[2]) > 1e-8, p_FinA[2], 1e-8)
+        return jnp.asarray([p_FinA[0] / z, p_FinA[1] / z, 1.0 / z])
+    raise ValueError(rep)
+
+
+def to_global(rep: str, lam, q_clone, p_clone, q_ext, p_ext):
+    """λ -> p_FinG given the anchor pose (no-op for GLOBAL_3D)."""
+    if rep == GLOBAL_3D:
+        return lam
+    R_GtoA, p_AinG = anchor_frame(q_clone, p_clone, q_ext, p_ext)
+    return R_GtoA.T @ lam_to_pFinA(rep, lam) + p_AinG
+
+
+def from_global(rep: str, p_FinG, q_clone, p_clone, q_ext, p_ext):
+    """p_FinG -> λ given the anchor pose."""
+    if rep == GLOBAL_3D:
+        return p_FinG
+    R_GtoA, p_AinG = anchor_frame(q_clone, p_clone, q_ext, p_ext)
+    return pFinA_to_lam(rep, R_GtoA @ (p_FinG - p_AinG))
+
+
+def d_pFinG_d_lam(rep: str, lam, q_clone, q_ext):
+    """[3,3] representation Jacobian ∂p_FinG/∂λ (UpdaterHelper.cpp:32-190)."""
+    if rep == GLOBAL_3D:
+        return jnp.eye(3, dtype=lam.dtype)
+    R_GtoA = lie.quat_2_rot(q_ext) @ lie.quat_2_rot(q_clone)
+    if rep == ANCHORED_3D:
+        return R_GtoA.T
+    # inverse depth: ∂p_FinA/∂(α,β,ρ)
+    rho = jnp.where(jnp.abs(lam[2]) > 1e-8, lam[2], 1e-8)
+    d = jnp.asarray(
+        [
+            [1.0 / rho, 0.0, -lam[0] / rho**2],
+            [0.0, 1.0 / rho, -lam[1] / rho**2],
+            [0.0, 0.0, -1.0 / rho**2],
+        ],
+        dtype=lam.dtype,
+    )
+    return R_GtoA.T @ d
+
+
+def d_pFinG_d_anchor(rep: str, lam, q_clone, q_ext, p_ext):
+    """(∂p_FinG/∂δθ_A [3,3], ∂p_FinG/∂δp_A [3,3]) w.r.t. the anchor CLONE.
+
+    With u = R_ItoCᵀ (p_FinA − p_IinC):
+        p_FinG = R_GtoI_Aᵀ (I + ⌊δθ⌋) u + p_A + ...
+        ∂/∂δθ_A = −R_ItoG_A ⌊u⌋ ,  ∂/∂δp_A = I.
+    Evaluate at FEJ values for consistency (UpdaterHelper.cpp:87-96).
+    """
+    dtype = lam.dtype
+    if rep == GLOBAL_3D:
+        z = jnp.zeros((3, 3), dtype)
+        return z, z
+    R_GtoI = lie.quat_2_rot(q_clone)
+    R_ItoC = lie.quat_2_rot(q_ext)
+    p_FinA = lam_to_pFinA(rep, lam)
+    u = R_ItoC.T @ (p_FinA - p_ext)
+    return -R_GtoI.T @ lie.skew(u), jnp.eye(3, dtype=dtype)
+
+
+def anchor_change_jacobians(rep: str, lam_old,
+                            q_old, p_old, q_new, p_new, q_ext, p_ext):
+    """Exact transform for moving a landmark to a new anchor.
+
+    Returns (lam_new, J_lam [3,3], J_xold [3,6], J_xnew [3,6]) such that
+        δλ_new = J_lam δλ_old + J_xold [δθ_A,δp_A]_old + J_xnew [δθ,δp]_new
+    (the UpdaterSLAM::perform_anchor_change covariance propagation,
+    UpdaterSLAM.cpp:505-647, via the implicit-function chain
+    dλn = (∂pG/∂λn)⁻¹ (dpG − (∂pG/∂xn) dxn)).
+    """
+    p_G = to_global(rep, lam_old, q_old, p_old, q_ext, p_ext)
+    lam_new = from_global(rep, p_G, q_new, p_new, q_ext, p_ext)
+
+    dpG_dlam_o = d_pFinG_d_lam(rep, lam_old, q_old, q_ext)
+    dth_o, dp_o = d_pFinG_d_anchor(rep, lam_old, q_old, q_ext, p_ext)
+    dpG_dlam_n = d_pFinG_d_lam(rep, lam_new, q_new, q_ext)
+    dth_n, dp_n = d_pFinG_d_anchor(rep, lam_new, q_new, q_ext, p_ext)
+
+    inv_n = jnp.linalg.inv(
+        dpG_dlam_n + 1e-12 * jnp.eye(3, dtype=lam_old.dtype)
+    )
+    J_lam = inv_n @ dpG_dlam_o
+    J_xold = inv_n @ jnp.concatenate([dth_o, dp_o], axis=1)
+    J_xnew = -inv_n @ jnp.concatenate([dth_n, dp_n], axis=1)
+    return lam_new, J_lam, J_xold, J_xnew

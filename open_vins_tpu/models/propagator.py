@@ -43,9 +43,8 @@ class ImuWindow(NamedTuple):
     a: jax.Array  # [K, 3] accel
 
 
-def _step_mean(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity):
-    """Midpoint/trapezoid mean integration for one interval (RK4-class
-    accuracy for VIO rates; Propagator::predict_mean_rk4 parity)."""
+def _step_mean_midpoint(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity):
+    """Midpoint/trapezoid mean integration (the 'discrete' option)."""
     w_hat = 0.5 * (w1 + w2) - bg
     a1h = a1 - ba
     a2h = a2 - ba
@@ -58,6 +57,44 @@ def _step_mean(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity):
     v_new = v + 0.5 * (acc1 + acc2) * dt
     p_new = p + v * dt + 0.5 * acc1 * dt * dt
     return q_new, p_new, v_new, w_hat, 0.5 * (a1h + a2h)
+
+
+def _step_mean_rk4(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity):
+    """Classic RK4 mean integration with linearly-interpolated IMU inputs
+    (Propagator::predict_mean_rk4 parity, Propagator.cpp:507-587).
+
+    The quaternion is integrated in R⁴ via q̇ = ½ Ω(ω) q and renormalized
+    (the reference does the same)."""
+    w1h, w2h = w1 - bg, w2 - bg
+    a1h, a2h = a1 - ba, a2 - ba
+    wm = 0.5 * (w1h + w2h)
+    am = 0.5 * (a1h + a2h)
+
+    def deriv(qk, pk, vk, w, a):
+        qd = 0.5 * (lie.Omega(w) @ qk)
+        Rt = lie.quat_2_rot(qk / jnp.linalg.norm(qk)).T
+        vd = Rt @ a - gravity
+        return qd, vk, vd
+
+    k1q, k1p, k1v = deriv(q, p, v, w1h, a1h)
+    k2q, k2p, k2v = deriv(q + 0.5 * dt * k1q, p + 0.5 * dt * k1p,
+                          v + 0.5 * dt * k1v, wm, am)
+    k3q, k3p, k3v = deriv(q + 0.5 * dt * k2q, p + 0.5 * dt * k2p,
+                          v + 0.5 * dt * k2v, wm, am)
+    k4q, k4p, k4v = deriv(q + dt * k3q, p + dt * k3p, v + dt * k3v, w2h, a2h)
+
+    q_new = q + dt / 6.0 * (k1q + 2 * k2q + 2 * k3q + k4q)
+    q_new = lie.quat_norm(q_new)
+    p_new = p + dt / 6.0 * (k1p + 2 * k2p + 2 * k3p + k4p)
+    v_new = v + dt / 6.0 * (k1v + 2 * k2v + 2 * k3v + k4v)
+    return q_new, p_new, v_new, wm, am
+
+
+def _step_mean(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity,
+               integration="rk4"):
+    if integration == "rk4":
+        return _step_mean_rk4(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity)
+    return _step_mean_midpoint(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity)
 
 
 def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype):
@@ -130,7 +167,7 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
         dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
         q2, p2, v2, w_hat, a_hat = _step_mean(
             q, p, v, state.bg, state.ba, win.w[k], win.a[k], win.w[k + 1],
-            win.a[k + 1], dt, gravity
+            win.a[k + 1], dt, gravity, cfg.integration
         )
         Phi_k, Qd_k = _phi_qd(
             (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg, dtype
@@ -180,7 +217,7 @@ def fast_state_propagate(state: VioState, cfg: FilterConfig, win: ImuWindow):
         dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
         q2, p2, v2, _, _ = _step_mean(
             q, p, v, state.bg, state.ba, win.w[k], win.a[k], win.w[k + 1],
-            win.a[k + 1], dt, gravity
+            win.a[k + 1], dt, gravity, cfg.integration
         )
         return (q2, p2, v2), None
 

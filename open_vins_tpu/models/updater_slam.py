@@ -25,11 +25,56 @@ from open_vins_tpu.core import ekf
 from open_vins_tpu.core.layout import FilterConfig
 from open_vins_tpu.core.state import VioState
 from open_vins_tpu.models import feature_table as ft
+from open_vins_tpu.models import landmark_rep as lrep
 from open_vins_tpu.models import triangulation as tri
 from open_vins_tpu.models import update_helper as uh
+from open_vins_tpu.ops.indexing import take1
 
 MAX_FAIL = 3  # eviction threshold on consecutive chi2 failures
 MAX_INIT_PER_FRAME = 6  # landmarks initialized per frame (static bound)
+
+
+def _anchor_of(state: VioState, slot, fej: bool):
+    """Anchor clone + extrinsic values (optionally FEJ) for landmark slot."""
+    a_slot = take1(state.slam_anchor_slot, slot)
+    a_cam = take1(state.slam_anchor_cam, slot)
+    q_c = take1(state.clones_q_fej if fej else state.clones_q, a_slot)
+    p_c = take1(state.clones_p_fej if fej else state.clones_p, a_slot)
+    q_e = take1(state.calib_ext_q, a_cam)
+    p_e = take1(state.calib_ext_p, a_cam)
+    return a_slot, q_c, p_c, q_e, p_e
+
+
+def landmark_global(state: VioState, cfg: FilterConfig, slot, fej: bool):
+    """p_FinG of landmark `slot` under cfg.feat_rep_slam (FEJ optional)."""
+    lam = take1(state.slam_p_fej if fej else state.slam_p, slot)
+    if not lrep.is_anchored(cfg.feat_rep_slam):
+        return lam
+    _, q_c, p_c, q_e, p_e = _anchor_of(state, slot, fej)
+    return lrep.to_global(cfg.feat_rep_slam, lam, q_c, p_c, q_e, p_e)
+
+
+def _chain_anchored(state: VioState, cfg: FilterConfig, slot, H_x, H_fg):
+    """Convert global-landmark rows (H_fg = ∂z/∂p_FinG) to λ-rows and fold
+    the anchor-pose columns into H_x.  FEJ linearization values.
+
+    Returns (H_x', H_lam).
+    """
+    rep = cfg.feat_rep_slam
+    if not lrep.is_anchored(rep):
+        return H_x, H_fg
+    fej = cfg.use_fej
+    a_slot, q_c, p_c, q_e, p_e = _anchor_of(state, slot, fej)
+    lam = take1(state.slam_p_fej if fej else state.slam_p, slot)
+    dpG_dlam = lrep.d_pFinG_d_lam(rep, lam, q_c, q_e)
+    dth, dp = lrep.d_pFinG_d_anchor(rep, lam, q_c, q_e, p_e)
+    H_lam = H_fg @ dpG_dlam
+    rows = H_fg.shape[0]
+    off = cfg.clones_off + 6 * a_slot
+    block = jax.lax.dynamic_slice(H_x, (0, off), (rows, 6))
+    block = block + jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1)
+    H_x = jax.lax.dynamic_update_slice(H_x, block, (0, off))
+    return H_x, H_lam
 
 
 def slam_row_mask(state: VioState, table: ft.FeatureTable):
@@ -95,11 +140,38 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         ok = cand_ok[i] & tri_ok[i] & (n_done < n_free)
         slot = free_order[jnp.clip(n_done, 0, L - 1)]
         obs_i = jax.tree_util.tree_map(lambda a: a[i], gobs)
-        H_x, H_f, res, row_mask = uh.feature_jacobian(
+        H_x, H_fg, res, row_mask = uh.feature_jacobian(
             st, cfg, obs_i, p_f[i], p_f[i]
         )
+        # anchored reps: anchor at the newest clone, cam 0; convert the
+        # triangulated global point + global-landmark rows into λ space
+        rep = cfg.feat_rep_slam
+        if lrep.is_anchored(rep):
+            a_slot = st.head
+            q_c = take1(st.clones_q, a_slot)
+            p_c = take1(st.clones_p, a_slot)
+            q_e = st.calib_ext_q[0]
+            p_e = st.calib_ext_p[0]
+            lam0 = lrep.from_global(rep, p_f[i], q_c, p_c, q_e, p_e)
+            dpG_dlam = lrep.d_pFinG_d_lam(rep, lam0, q_c, q_e)
+            dth, dp = lrep.d_pFinG_d_anchor(rep, lam0, q_c, q_e, p_e)
+            H_lam = H_fg @ dpG_dlam
+            rows = H_fg.shape[0]
+            off = cfg.clones_off + 6 * a_slot
+            block = jax.lax.dynamic_slice(H_x, (0, off), (rows, 6))
+            block = block + jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1)
+            H_x = jax.lax.dynamic_update_slice(H_x, block, (0, off))
+        else:
+            lam0 = p_f[i]
+            H_lam = H_fg
         st2, H_up, res_up, up_mask = ekf.initialize_landmark(
-            st, cfg, slot, feat_ids[i], p_f[i], H_x, H_f, res, sigma, row_mask,
+            st, cfg, slot, feat_ids[i], lam0, H_x, H_lam, res, sigma,
+            row_mask,
+        )
+        st2 = st2._replace(
+            slam_anchor_slot=st2.slam_anchor_slot.at[slot].set(
+                st.head.astype(jnp.int32)),
+            slam_anchor_cam=st2.slam_anchor_cam.at[slot].set(0),
         )
         # chi2 gate on the leftover system before accepting
         gamma = uh.chi2_statistic(st.cov, H_up, res_up, sigma)
@@ -149,13 +221,16 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
             uvn=take1(table.uvn[r], head),
             mask=take1(table.mask[r], head) & has_row[slot],
         )
-        H_x, H_f, res, row_mask = uh.feature_jacobian(
-            state, cfg, obs, take1(state.slam_p, slot),
-            take1(state.slam_p_fej, slot)
+        p_G_cur = landmark_global(state, cfg, slot, fej=False)
+        p_G_fej = (landmark_global(state, cfg, slot, fej=True)
+                   if cfg.use_fej else p_G_cur)
+        H_x, H_fg, res, row_mask = uh.feature_jacobian(
+            state, cfg, obs, p_G_cur, p_G_fej
         )
-        # place H_f at the landmark's own columns
+        H_x, H_lam = _chain_anchored(state, cfg, slot, H_x, H_fg)
+        # place the landmark rows at its own columns
         off = cfg.slam_off + 3 * slot
-        H_full = jax.lax.dynamic_update_slice(H_x, H_f, (0, off))
+        H_full = jax.lax.dynamic_update_slice(H_x, H_lam, (0, off))
         gamma = uh.chi2_statistic(state.cov, H_full, res, sigma)
         dof = jnp.maximum(jnp.sum(row_mask.astype(jnp.int32)), 1)
         ok = (

@@ -80,3 +80,40 @@ class TestStaticInit:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestRouter:
+    def test_still_routes_static(self):
+        from open_vins_tpu.init import router
+
+        opts = router.RouterOptions(window_time=0.5, imu_thresh=0.5)
+        use_static, use_dynamic = router.decide(opts, 0.5, 1.2)
+        assert use_static and not use_dynamic
+
+    def test_moving_routes_dynamic(self):
+        from open_vins_tpu.init import router
+
+        opts = router.RouterOptions()
+        use_static, use_dynamic = router.decide(opts, 3.0, 45.0)
+        assert use_dynamic and not use_static
+
+    def test_static_attempt_through_router(self):
+        from open_vins_tpu.init import router
+
+        t, w, a, m = imu_buffer(jerk_at=1.6)
+        opts = router.RouterOptions(window_time=0.5, imu_thresh=0.5)
+        kind, res = router.try_initialize(
+            opts, np.array(t), np.array(w), np.array(a), float(t[-1]),
+            disparity_w1=0.2, disparity_w2=0.4,
+        )
+        assert kind == "static"
+        assert bool(res.success)
+
+    def test_disparity_computation(self):
+        from open_vins_tpu.init import router
+
+        tracks_uv = [np.array([[0, 0], [3, 4], [6, 8]]),
+                     np.array([[10, 10], [10, 10]])]
+        tracks_t = [np.array([0.0, 0.5, 1.0]), np.array([0.0, 1.0])]
+        d = router.average_disparity(tracks_uv, tracks_t, 0.0, 1.0)
+        assert d == pytest.approx((10.0 + 0.0) / 2)
