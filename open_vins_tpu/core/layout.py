@@ -47,8 +47,11 @@ class FilterConfig(NamedTuple):
     use_zupt: bool = False  # zero-velocity updates (UpdaterZeroVelocity)
     feat_rep_slam: str = "GLOBAL_3D"  # | ANCHORED_3D |
     # ANCHORED_MSCKF_INVERSE_DEPTH (LandmarkRepresentation parity)
-    fast_compress: bool = True  # normal-eq compression instead of tall QR
-    # (information-equivalent; see update_helper.compress_system_cholesky)
+    fast_compress: bool = False  # OPT-IN normal-eq compression instead of
+    # tall QR.  CAVEAT: in f32 the required Cholesky jitter (~eps*||H^T H||)
+    # injects spurious information on weakly-constrained dims and corrupts
+    # long-horizon consistency (divergence after ~70 frames observed on
+    # SLAM configs) — keep False unless running f64 or short horizons.
     cam_model: str = "radtan"
     # noise (continuous-time densities, NoiseManager parity)
     sigma_w: float = 1.6968e-4

@@ -235,10 +235,12 @@ def step_frame(state: VioState, table: ft.FeatureTable, cfg: FilterConfig,
 def _step_frame_core(state: VioState, table: ft.FeatureTable,
                      cfg: FilterConfig, tri_opts: tri.TriangulationOptions,
                      frame: FrameInput):
-    # 1. marginalize the oldest clone if the ring is full
+    # 1. marginalize the oldest clone if the ring is full; landmarks
+    #    anchored there move to the newest clone first
     full = state.n_clones >= cfg.max_clones
     slot_old = oldest_slot(state, cfg)
-    state_m = ekf.marginalize_clone(state, cfg, slot_old)
+    state_pre = slam.change_anchors(state, cfg, slot_old)
+    state_m = ekf.marginalize_clone(state_pre, cfg, slot_old)
     table_m = ft.clear_clone_column(table, slot_old)
     state = jax.tree_util.tree_map(lambda a, b: jnp.where(full, a, b), state_m, state)
     table = jax.tree_util.tree_map(lambda a, b: jnp.where(full, a, b), table_m, table)

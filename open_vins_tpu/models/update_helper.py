@@ -168,9 +168,15 @@ def compress_system_cholesky(H, res, out_rows):
     Produces (H_c, res_c) with H_cᵀH_c = HᵀH and H_cᵀres_c = Hᵀres — an
     information-equivalent system under isotropic noise, hence the same EKF
     update as the QR path.  ~10x cheaper than tall Householder QR on TPU
-    (H is [m,D] with m up to ~8D).  Numerics: squares the condition number;
-    the diagonal jitter keeps the f32 Cholesky stable, and equivalence to
-    the QR path is covered by tests.
+    (H is [m,D] with m up to ~8D).
+
+    NUMERICS CAVEAT (why this is opt-in, not the default): squaring the
+    condition number means the f32 Cholesky needs jitter ~ eps_f32*||HᵀH||,
+    and that jitter IS spurious measurement information (H_c gains √jitter
+    rows on every dim with zero residual).  On weakly-constrained dims with
+    large covariance this measurably shrinks P every frame and corrupts
+    long-horizon consistency — closed-loop SLAM runs diverged after ~70
+    frames.  Sound usages: f64, short horizons, or well-excited states.
     """
     m, D = H.shape
     assert out_rows >= D

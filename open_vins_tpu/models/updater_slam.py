@@ -258,6 +258,78 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     return state, failed.astype(jnp.int32), jnp.sum(ok.astype(jnp.int32))
 
 
+def change_anchors(state: VioState, cfg: FilterConfig, dying_slot):
+    """Re-anchor landmarks whose anchor clone is about to be marginalized
+    onto the newest clone (UpdaterSLAM::change_anchors /
+    perform_anchor_change parity, UpdaterSLAM.cpp:481-647).
+
+    The covariance transform is the exact row map  δλ_new = J [δλ_old;
+    δx_Aold; δx_Anew]  applied as cov' = M cov Mᵀ with M = I except the
+    landmark rows; Jacobians at FEJ values, value transform at current
+    values; FEJ of the landmark reset to the transformed FEJ value.
+    """
+    if cfg.max_slam == 0 or not lrep.is_anchored(cfg.feat_rep_slam):
+        return state
+    rep = cfg.feat_rep_slam
+    L = cfg.max_slam
+    D = cfg.state_dim
+    new_slot = state.head
+    dtype = state.cov.dtype
+
+    def body(slot, st):
+        need = st.slam_valid[slot] & (
+            take1(st.slam_anchor_slot, slot) == dying_slot
+        )
+        a_cam = take1(st.slam_anchor_cam, slot)
+        q_e = take1(st.calib_ext_q, a_cam)
+        p_e = take1(st.calib_ext_p, a_cam)
+
+        # Jacobians + FEJ transform at first-estimate values
+        q_of = take1(st.clones_q_fej, dying_slot)
+        p_of = take1(st.clones_p_fej, dying_slot)
+        q_nf = take1(st.clones_q_fej, new_slot)
+        p_nf = take1(st.clones_p_fej, new_slot)
+        lam_f = take1(st.slam_p_fej, slot)
+        lam_new_f, J_lam, J_xo, J_xn = lrep.anchor_change_jacobians(
+            rep, lam_f, q_of, p_of, q_nf, p_nf, q_e, p_e
+        )
+        # value transform at current estimates
+        q_o = take1(st.clones_q, dying_slot)
+        p_o = take1(st.clones_p, dying_slot)
+        q_n = take1(st.clones_q, new_slot)
+        p_n = take1(st.clones_p, new_slot)
+        lam_c = take1(st.slam_p, slot)
+        p_G = lrep.to_global(rep, lam_c, q_o, p_o, q_e, p_e)
+        lam_new = lrep.from_global(rep, p_G, q_n, p_n, q_e, p_e)
+
+        loff = cfg.slam_off + 3 * slot
+        J = jnp.zeros((3, D), dtype)
+        J = jax.lax.dynamic_update_slice(J, J_lam, (0, loff))
+        J = jax.lax.dynamic_update_slice(
+            J, J_xo, (0, cfg.clones_off + 6 * dying_slot))
+        J = jax.lax.dynamic_update_slice(
+            J, J_xn, (0, cfg.clones_off + 6 * new_slot))
+        rows = J @ st.cov
+        corner = rows @ J.T
+        cov = jax.lax.dynamic_update_slice(st.cov, rows, (loff, 0))
+        cov = jax.lax.dynamic_update_slice(cov, rows.T, (0, loff))
+        cov = jax.lax.dynamic_update_slice(
+            cov, 0.5 * (corner + corner.T), (loff, loff))
+
+        st2 = st._replace(
+            cov=cov,
+            slam_p=st.slam_p.at[slot].set(lam_new),
+            slam_p_fej=st.slam_p_fej.at[slot].set(lam_new_f),
+            slam_anchor_slot=st.slam_anchor_slot.at[slot].set(
+                new_slot.astype(jnp.int32)),
+        )
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(need, a, b), st2, st
+        )
+
+    return jax.lax.fori_loop(0, L, body, state)
+
+
 def evict(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     """Marginalize landmarks whose track died or that keep failing the gate
     (state.slam_fail carries the update_fail_count).  The evicted landmark's
