@@ -179,14 +179,16 @@ def ekf_update(state: VioState, cfg: FilterConfig, H, res, r_diag) -> VioState:
     downdate.  The reference aborts on negative covariance diagonals; here we
     clamp-symmetrize (f32 on TPU) and expose the diagonal for health checks.
     """
+    from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
+
     PHt = state.cov @ H.T  # [D, m]
     S = H @ PHt + jnp.diag(r_diag)
     S = 0.5 * (S + S.T)
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
     K = jax.scipy.linalg.cho_solve(chol, PHt.T).T  # [D, m]
     dx = K @ res
-    cov = state.cov - K @ PHt.T
-    cov = 0.5 * (cov + cov.T)
+    # fused tiled symmetric downdate (Pallas on TPU, jnp elsewhere)
+    cov = symmetric_downdate(state.cov, K, PHt)
     new_state = boxplus(state, cfg, dx)
     return new_state._replace(cov=cov)
 
