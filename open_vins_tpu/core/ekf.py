@@ -55,21 +55,35 @@ def chi2_gate(dof):
 # ---------------------------------------------------------------------------
 
 
-def propagate_covariance(cov, Phi, Qd, cfg: FilterConfig):
-    """P <- Φ P Φᵀ + Q where Φ acts on the leading IMU block only.
+def propagate_covariance(cov, Phi, Qd, cfg: FilterConfig, B=None):
+    """P <- Φ_full P Φ_fullᵀ + Q with the block-sparse transition
+    Φ_full = [[Φ, B],[0, I]]: Φ on the leading IMU block, optional columns
+    B [15,24] into the IMU-intrinsic block (identity dynamics elsewhere).
 
-    Mirrors StateHelper::EKFPropagation's block-sparse structure
-    (StateHelper.cpp:33-114): only the IMU rows/cols change.
+    Mirrors StateHelper::EKFPropagation's structure (StateHelper.cpp:33-114):
+    only the IMU rows/cols change.
     """
     d = cfg.imu_dim
-    Pii = cov[:d, :d]
-    Pix = cov[:d, d:]
-    new_ii = Phi @ Pii @ Phi.T + Qd
-    new_ii = 0.5 * (new_ii + new_ii.T)
-    new_ix = Phi @ Pix
-    top = jnp.concatenate([new_ii, new_ix], axis=1)
-    bot = jnp.concatenate([new_ix.T, cov[d:, d:]], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+    if B is None:
+        Pii = cov[:d, :d]
+        Pix = cov[:d, d:]
+        new_ii = Phi @ Pii @ Phi.T + Qd
+        new_ii = 0.5 * (new_ii + new_ii.T)
+        new_ix = Phi @ Pix
+        top = jnp.concatenate([new_ii, new_ix], axis=1)
+        bot = jnp.concatenate([new_ix.T, cov[d:, d:]], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+
+    gi = cfg.imu_dw_off
+    gd = cfg.imu_intr_dim
+    J = jnp.concatenate([Phi, B], axis=1)  # [15, 15+24]
+    P_sel = jnp.concatenate([cov[:d, :], cov[gi : gi + gd, :]], axis=0)
+    rows_new = J @ P_sel  # [15, D]
+    corner = rows_new[:, :d] @ Phi.T + rows_new[:, gi : gi + gd] @ B.T + Qd
+    corner = 0.5 * (corner + corner.T)
+    cov = cov.at[:d, :].set(rows_new)
+    cov = cov.at[:, :d].set(rows_new.T)
+    return cov.at[:d, :d].set(corner)
 
 
 def augment_clone(state: VioState, cfg: FilterConfig, w_hat) -> VioState:
@@ -168,6 +182,11 @@ def active_mask(state: VioState, cfg: FilterConfig):
         mask = mask.at[cfg.calib_ext_off : cfg.calib_ext_off + 6 * cfg.num_cams].set(True)
     if cfg.calib_cam_intrinsics:
         mask = mask.at[cfg.calib_intr_off : cfg.calib_intr_off + 8 * cfg.num_cams].set(True)
+    if cfg.calib_imu_intrinsics:
+        mask = mask.at[cfg.imu_dw_off : cfg.imu_dw_off + 12].set(True)
+        mask = mask.at[cfg.imu_thw_off : cfg.imu_thw_off + 3].set(True)
+    if cfg.calib_imu_g_sensitivity:
+        mask = mask.at[cfg.imu_tg_off : cfg.imu_tg_off + 9].set(True)
     return mask
 
 

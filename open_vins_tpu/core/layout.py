@@ -41,6 +41,8 @@ class FilterConfig(NamedTuple):
     calib_cam_timeoffset: bool = False
     calib_cam_extrinsics: bool = False
     calib_cam_intrinsics: bool = False
+    calib_imu_intrinsics: bool = False  # Dw/Da (+ gyro frame, KALIBR model)
+    calib_imu_g_sensitivity: bool = False  # Tg
     # estimator behavior
     integration: str = "rk4"  # "rk4" | "discrete" (StateOptions parity)
     use_fej: bool = True
@@ -123,6 +125,29 @@ class FilterConfig(NamedTuple):
     def cam_intr_off(self, cam: int) -> int:
         return self.calib_intr_off + 8 * cam
 
+    # IMU intrinsic blocks (KALIBR model, StateOptions.h:35-119 +
+    # Propagator.cpp:860-963): Dw (6, lower-tri gyro scale/skew), Da (6),
+    # Tg (9, gravity sensitivity), th_wtoI (3, gyro-frame rotation)
+    @property
+    def imu_dw_off(self) -> int:
+        return self.calib_intr_off + 8 * self.num_cams
+
+    @property
+    def imu_da_off(self) -> int:
+        return self.imu_dw_off + 6
+
+    @property
+    def imu_tg_off(self) -> int:
+        return self.imu_da_off + 6
+
+    @property
+    def imu_thw_off(self) -> int:
+        return self.imu_tg_off + 9
+
+    @property
+    def imu_intr_dim(self) -> int:
+        return 24
+
     @property
     def state_dim(self) -> int:
-        return self.calib_intr_off + 8 * self.num_cams
+        return self.imu_thw_off + 3

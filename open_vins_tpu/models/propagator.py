@@ -43,6 +43,70 @@ class ImuWindow(NamedTuple):
     a: jax.Array  # [K, 3] accel
 
 
+def _lower_tri(d6):
+    """6-vector -> lower-triangular 3x3 (State::Dm KALIBR layout)."""
+    return jnp.asarray(
+        [
+            [d6[0], 0.0, 0.0],
+            [d6[1], d6[3], 0.0],
+            [d6[2], d6[4], d6[5]],
+        ],
+        dtype=d6.dtype,
+    )
+
+
+def imu_intrinsic_mats(state: VioState):
+    """(Dw, Da, Tg, R_w): the KALIBR-model correction matrices
+    (State::Dm / State::Tg parity, State.h:91-116)."""
+    Dw = _lower_tri(state.imu_dw)
+    Da = _lower_tri(state.imu_da)
+    Tg = state.imu_tg.reshape(3, 3).T  # column-major storage
+    R_w = lie.quat_2_rot(state.imu_q_gyro)  # GYROtoIMU
+    return Dw, Da, Tg, R_w
+
+
+def correct_imu(state: VioState, w_m, a_m):
+    """Apply biases + IMU intrinsics to raw measurements.
+
+    Reference model (Propagator.cpp:885-892, KALIBR):
+        â = Da (a_m − ba),   ŵ = R_w Dw (w_m − bg − Tg â)
+    Returns (ŵ, â, u_w, u_a) where u_w/u_a are the pre-scale vectors needed
+    by the intrinsic Jacobians H_Dw/H_Da.
+    """
+    Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
+    u_a = a_m - state.ba
+    a_hat = Da @ u_a
+    u_w = w_m - state.bg - Tg @ a_hat
+    w_hat = R_w @ (Dw @ u_w)
+    return w_hat, a_hat, u_w, u_a
+
+
+def _H_scale6(u):
+    """∂(lower_tri(d) u)/∂d : [3,6] (compute_H_Dw/H_Da parity)."""
+    z = jnp.zeros((), dtype=u.dtype)
+    return jnp.asarray(
+        [
+            [u[0], z, z, z, z, z],
+            [z, u[0], z, u[1], z, z],
+            [z, z, u[0], z, u[1], u[2]],
+        ],
+        dtype=u.dtype,
+    )
+
+
+def _H_tg(a):
+    """∂(Tg a)/∂tg (column-major tg): [3,9] (compute_H_Tg parity)."""
+    z = jnp.zeros((), dtype=a.dtype)
+    return jnp.asarray(
+        [
+            [a[0], z, z, a[1], z, z, a[2], z, z],
+            [z, a[0], z, z, a[1], z, z, a[2], z],
+            [z, z, a[0], z, z, a[1], z, z, a[2]],
+        ],
+        dtype=a.dtype,
+    )
+
+
 def _step_mean_midpoint(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity):
     """Midpoint/trapezoid mean integration (the 'discrete' option)."""
     w_hat = 0.5 * (w1 + w2) - bg
@@ -97,7 +161,7 @@ def _step_mean(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity,
     return _step_mean_midpoint(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity)
 
 
-def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype):
+def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux):
     """Error-state Φ [15,15] and Qd [15,15] for one interval.
 
     Mirrors compute_F_and_G_discrete (Propagator.cpp:830-963) including the
@@ -112,29 +176,51 @@ def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype):
     """
     q_lin, p_lin, v_lin = lin
     q_new, p_new, v_new = new
+    # intrinsic-corrected quantities for this interval (identity intrinsics
+    # reduce every factor below to the plain model)
+    Dw, Da, Tg, R_w, w_hat, a_hat, u_w, u_a = aux
+    RwDw = R_w @ Dw
+
     R_k = lie.quat_2_rot(q_lin)  # GtoI at linearization point
     R_kT = R_k.T
     dR = lie.quat_2_rot(q_new) @ R_kT  # k -> k+1 rotation change
     Jr_dR = lie.Jr_so3(lie.log_so3(dR))
+    dRJr = dR @ Jr_dR * dt
 
     I3 = jnp.eye(3, dtype=dtype)
     Z = jnp.zeros((3, 3), dtype=dtype)
-    Fth_bg = -dR @ Jr_dR * dt
+    Fth_bg = -dRJr @ RwDw
+    Fth_ba = dRJr @ (RwDw @ Tg @ Da)
     Fp_th = -lie.skew(p_new - p_lin - v_lin * dt + 0.5 * gravity * dt * dt) @ R_kT
     Fv_th = -lie.skew(v_new - v_lin + gravity * dt) @ R_kT
+    RtDa = R_kT @ Da
 
-    F_th = [dR, Z, Z, Fth_bg, Z]
-    F_p = [Fp_th, I3, I3 * dt, Z, -0.5 * dt * dt * R_kT]
-    F_v = [Fv_th, Z, I3, Z, -dt * R_kT]
+    F_th = [dR, Z, Z, Fth_bg, Fth_ba]
+    F_p = [Fp_th, I3, I3 * dt, Z, -0.5 * dt * dt * RtDa]
+    F_v = [Fv_th, Z, I3, Z, -dt * RtDa]
     F_bg = [Z, Z, Z, I3, Z]
     F_ba = [Z, Z, Z, Z, I3]
     Phi = jnp.block([F_th, F_p, F_v, F_bg, F_ba])
 
+    # intrinsic columns B [15, 24] over [dw(6) da(6) tg(9) th_w(3)]
+    # (compute_F_and_G_discrete intrinsic blocks, Propagator.cpp:920-955);
+    # built only when the blocks are estimated (static flags -> specialized)
+    B = jnp.zeros((15, 24), dtype=dtype)
+    if cfg.calib_imu_intrinsics:
+        B = B.at[0:3, 0:6].set(dRJr @ R_w @ _H_scale6(u_w))
+        B = B.at[0:3, 6:12].set(-dRJr @ (RwDw @ Tg) @ _H_scale6(u_a))
+        B = B.at[3:6, 6:12].set(0.5 * dt * dt * R_kT @ _H_scale6(u_a))
+        B = B.at[6:9, 6:12].set(dt * R_kT @ _H_scale6(u_a))
+        B = B.at[0:3, 21:24].set(dRJr @ lie.skew(w_hat))
+    if cfg.calib_imu_g_sensitivity:
+        B = B.at[0:3, 12:21].set(-dRJr @ RwDw @ _H_tg(a_hat))
+
     # G [15,12] over noise [n_g n_a n_wg n_wa]; Qc scaled for discrete time
     G = jnp.zeros((15, 12), dtype=dtype)
     G = G.at[0:3, 0:3].set(Fth_bg)
-    G = G.at[3:6, 3:6].set(-0.5 * dt * dt * R_kT)
-    G = G.at[6:9, 3:6].set(-dt * R_kT)
+    G = G.at[0:3, 3:6].set(Fth_ba)
+    G = G.at[3:6, 3:6].set(-0.5 * dt * dt * RtDa)
+    G = G.at[6:9, 3:6].set(-dt * RtDa)
     G = G.at[9:12, 6:9].set(I3 * dt)
     G = G.at[12:15, 9:12].set(I3 * dt)
     inv_dt = jnp.where(dt > 0, 1.0 / jnp.maximum(dt, 1e-12), 0.0)
@@ -147,7 +233,7 @@ def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype):
         ]
     ) * inv_dt
     Qd = (G * qc[None, :]) @ G.T
-    return Phi, Qd
+    return Phi, B, Qd
 
 
 def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioState:
@@ -163,35 +249,50 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
     K = win.t.shape[0]
 
     def body(carry, k):
-        q, p, v, q_lin, p_lin, v_lin, Phi, Qd = carry
+        q, p, v, q_lin, p_lin, v_lin, Phi, B, Qd = carry
         dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
+        # correct raw samples through biases + IMU intrinsics
+        w1c, a1c, u_w1, u_a1 = correct_imu(state, win.w[k], win.a[k])
+        w2c, a2c, _, _ = correct_imu(state, win.w[k + 1], win.a[k + 1])
+        zero3 = jnp.zeros(3, dtype)
         q2, p2, v2, w_hat, a_hat = _step_mean(
-            q, p, v, state.bg, state.ba, win.w[k], win.a[k], win.w[k + 1],
-            win.a[k + 1], dt, gravity, cfg.integration
+            q, p, v, zero3, zero3, w1c, a1c, w2c, a2c, dt, gravity,
+            cfg.integration
         )
-        Phi_k, Qd_k = _phi_qd(
-            (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg, dtype
+        Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
+        aux = (Dw, Da, Tg, R_w, w_hat, a_hat, u_w1, u_a1)
+        Phi_k, B_k, Qd_k = _phi_qd(
+            (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg, dtype, aux
         )
         # padded (dt=0) intervals must be exact no-ops even when the
         # linearization point differs from the estimate
         Phi_k = jnp.where(dt > 0, Phi_k, jnp.eye(15, dtype=dtype))
+        B_k = jnp.where(dt > 0, B_k, 0.0)
         Qd_k = jnp.where(dt > 0, Qd_k, 0.0)
+        # composition with identity dynamics on the intrinsic block:
+        # [[A',B'],[0,I]] = [[A_k,B_k],[0,I]] @ [[A,B],[0,I]]
         Phi_new = Phi_k @ Phi
+        B_new = Phi_k @ B + B_k
         Qd_new = Phi_k @ Qd @ Phi_k.T + Qd_k
         # FEJ bookkeeping (Propagator.cpp:473-479): after the step, the
         # linearization point tracks the propagated mean; only the first
         # post-update interval linearizes at the pre-update first estimate.
-        return (q2, p2, v2, q2, p2, v2, Phi_new, Qd_new), None
+        return (q2, p2, v2, q2, p2, v2, Phi_new, B_new, Qd_new), None
 
     init = (
         state.q, state.p, state.v,
         state.q_fej, state.p_fej, state.v_fej,
-        jnp.eye(15, dtype=dtype), jnp.zeros((15, 15), dtype=dtype),
+        jnp.eye(15, dtype=dtype), jnp.zeros((15, 24), dtype=dtype),
+        jnp.zeros((15, 15), dtype=dtype),
     )
-    (q, p, v, _, _, _, Phi, Qd), _ = jax.lax.scan(body, init, jnp.arange(K - 1))
+    (q, p, v, _, _, _, Phi, B, Qd), _ = jax.lax.scan(
+        body, init, jnp.arange(K - 1)
+    )
     Qd = 0.5 * (Qd + Qd.T)
 
-    cov = propagate_covariance(state.cov, Phi, Qd, cfg)
+    use_B = cfg.calib_imu_intrinsics or cfg.calib_imu_g_sensitivity
+    cov = propagate_covariance(state.cov, Phi, Qd, cfg,
+                               B=B if use_B else None)
     return state._replace(
         q=q, p=p, v=v, cov=cov,
         q_fej=q, p_fej=p, v_fej=v,
@@ -215,9 +316,12 @@ def fast_state_propagate(state: VioState, cfg: FilterConfig, win: ImuWindow):
     def body(carry, k):
         q, p, v = carry
         dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
+        w1c, a1c, _, _ = correct_imu(state, win.w[k], win.a[k])
+        w2c, a2c, _, _ = correct_imu(state, win.w[k + 1], win.a[k + 1])
+        zero3 = jnp.zeros(3, dtype)
         q2, p2, v2, _, _ = _step_mean(
-            q, p, v, state.bg, state.ba, win.w[k], win.a[k], win.w[k + 1],
-            win.a[k + 1], dt, gravity, cfg.integration
+            q, p, v, zero3, zero3, w1c, a1c, w2c, a2c, dt, gravity,
+            cfg.integration
         )
         return (q2, p2, v2), None
 

@@ -49,8 +49,11 @@ def build_system(state: VioState, cfg: FilterConfig, win: ImuWindow):
         sdt = jnp.sqrt(jnp.maximum(dt, 1e-12))
         w_omega = sdt / cfg.sigma_w
         w_accel = sdt / cfg.sigma_a
-        w_hat = win.w[i] - state.bg
-        a_hat = win.a[i] - state.ba
+        # bias + IMU-intrinsic corrected (the reference leaves the intrinsic
+        # Jacobian columns as a TODO in the ZUPT, UpdaterZeroVelocity.cpp:136)
+        from open_vins_tpu.models.propagator import correct_imu
+
+        w_hat, a_hat, _, _ = correct_imu(state, win.w[i], win.a[i])
         res_w = -w_omega * w_hat
         res_a = -w_accel * (a_hat - lie.quat_2_rot(state.q) @ gravity)
         Hrow = jnp.zeros((6, D), dtype=dtype)

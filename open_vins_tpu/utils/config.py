@@ -116,6 +116,8 @@ def load(config_path: str) -> VioConfig:
         calib_cam_timeoffset=bool(est.get("calib_cam_timeoffset", False)),
         calib_cam_extrinsics=bool(est.get("calib_cam_extrinsics", False)),
         calib_cam_intrinsics=bool(est.get("calib_cam_intrinsics", False)),
+        calib_imu_intrinsics=bool(est.get("calib_imu_intrinsics", False)),
+        calib_imu_g_sensitivity=bool(est.get("calib_imu_g_sensitivity", False)),
         use_fej=bool(est.get("use_fej", True)),
         use_zupt=bool(est.get("try_zupt", False)),
         cam_model=cam_model,
