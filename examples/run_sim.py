@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     ap.add_argument("--num-pts", type=int, default=45)
     ap.add_argument("--clones", type=int, default=11)
+    ap.add_argument("--plot", default="", help="write state-error/3σ plot PNG")
+    ap.add_argument("--save-est", default="", help="write TUM estimate file")
+    ap.add_argument("--save-gt", default="", help="write TUM groundtruth file")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +91,44 @@ def main():
     print(f"ATE-style RMSE: {rmse_p*100:.2f} cm / {rmse_th:.3f} deg")
     print(f"pose NEES (dof 6): {np.mean(nees):.2f}")
     print(f"msckf feats/frame: {np.array(diag.n_msckf)[20:].mean():.1f}")
+
+    ts = (np.arange(len(gt_p)) + 1) / params.cam_rate
+    if args.save_est or args.save_gt:
+        from open_vins_tpu.eval import traj_io
+        if args.save_est:
+            R_e = np.swapaxes(R_est, -1, -2)  # ItoG for TUM convention
+            traj_io.save_tum(args.save_est, ts, np.array(ps),
+                             traj_io.rot_to_quat_xyzw(R_e))
+            print(f"wrote {args.save_est}")
+        if args.save_gt:
+            traj_io.save_tum(args.save_gt, ts, gt_p,
+                             traj_io.rot_to_quat_xyzw(np.swapaxes(R_gt, -1, -2)))
+            print(f"wrote {args.save_gt}")
+
+    if args.plot:
+        # ResultSimulation::plot_state parity: per-axis error with 3σ bounds
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(2, 3, figsize=(14, 6), sharex=True)
+        labels = ["θx", "θy", "θz", "px", "py", "pz"]
+        for i in range(6):
+            ax = axes[i // 3][i % 3]
+            err = (therr if i < 3 else perr)[:, i % 3]
+            sig = 3.0 * np.sqrt(np.maximum(covs[:, i, i], 0.0))
+            ax.plot(ts, err, "b-", lw=0.8, label="error")
+            ax.plot(ts, sig, "r--", lw=0.8, label="3σ")
+            ax.plot(ts, -sig, "r--", lw=0.8)
+            ax.set_title(labels[i])
+            if i == 0:
+                ax.legend()
+        for ax in axes[1]:
+            ax.set_xlabel("t [s]")
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=110)
+        print(f"wrote {args.plot}")
+
     ok = rmse_p < 0.15 and np.isfinite(np.array(state.cov)).all()
     print("STATUS:", "OK" if ok else "FAIL")
     return 0 if ok else 1

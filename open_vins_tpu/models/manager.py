@@ -278,6 +278,31 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
     return state, table, diag
 
 
+def get_active_features(state: VioState, cfg: FilterConfig,
+                        table: ft.FeatureTable,
+                        tri_opts: tri.TriangulationOptions, max_feats: int):
+    """Triangulate the currently-tracked features for publishing.
+
+    VioManagerHelper::retriangulate_active_tracks parity
+    (VioManagerHelper.cpp:190-461): the active (non-SLAM) tracks are
+    re-triangulated against the current clone window — the reference feeds
+    these to its visualizer/loop-closure consumers.
+
+    Returns (p_G [max_feats,3], ids [max_feats], valid [max_feats]).
+    """
+    n_obs = ft.row_obs_counts(table)
+    score = jnp.where(table.ids >= 0, n_obs.astype(jnp.float32), -1.0)
+    _, rows = jax.lax.top_k(score, max_feats)
+    tri_obs, _ = gather_feature_obs(state, cfg, table, rows)
+    p_f, ok = tri.triangulate_batch(tri_obs, tri_opts)
+    ok = ok & jnp.all(jnp.isfinite(p_f), axis=-1) & (score[rows] > 1)
+    ids = jnp.where(
+        rows < table.ids.shape[0],
+        table.ids[jnp.minimum(rows, table.ids.shape[0] - 1)], -1,
+    )
+    return jnp.where(ok[:, None], p_f, 0.0), ids, ok
+
+
 def initialize_from_gt(cfg: FilterConfig, q, p, v, bg, ba, t,
                        calib_ext_q, calib_ext_p, calib_intr,
                        prior_std=None) -> VioState:
