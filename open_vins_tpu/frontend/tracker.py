@@ -97,3 +97,38 @@ def track_frame(state: TrackerState, img, zeta, params: klt.KltParams,
         next_id=next_id, key=key,
     )
     return new_state, ids_out, pts_out, uvn_out, valid_out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cam_model"))
+def track_frame_stereo(state: TrackerState, img_l, img_r, zeta_l, zeta_r,
+                       params: klt.KltParams, cam_model: str = "radtan",
+                       first_frame=False):
+    """Stereo tracking: left eye is the temporal master; the right eye's
+    measurements come from a left→right KLT pass on the current pair with
+    epipolar RANSAC, sharing the left ids.
+
+    Mirrors TrackKLT::feed_stereo (TrackKLT.cpp:202-393): temporal tracking
+    plus a left↔right id join; returns (new_state, ids [2,P], uv [2,P,2],
+    uvn [2,P,2], mask [2,P]) in FrameInput layout (num_cams=2).
+    """
+    new_state, ids, uv_l, uvn_l, mask_l = track_frame(
+        state, img_l, zeta_l, params, cam_model=cam_model,
+        first_frame=first_frame,
+    )
+    img_r_eq = klt.equalize(img_r)
+    uv_r, ok_r = klt.track(new_state.prev_img, img_r_eq, uv_l, params)
+    uvn_r = cameras.undistort(cam_model, zeta_r, uv_r)
+    # epipolar consistency on normalized coords
+    key, sub = jax.random.split(new_state.key)
+    max_f = jnp.maximum(zeta_l[0], zeta_l[1])
+    inl, _ = ransac.ransac_fundamental(
+        uvn_l, uvn_r, mask_l & ok_r, sub, thresh=2.0 / max_f
+    )
+    mask_r = mask_l & ok_r & inl
+    new_state = new_state._replace(key=key)
+
+    ids2 = jnp.stack([ids, jnp.where(mask_r, ids, -1)])
+    uv2 = jnp.stack([uv_l, uv_r])
+    uvn2 = jnp.stack([uvn_l, uvn_r])
+    mask2 = jnp.stack([mask_l, mask_r])
+    return new_state, ids2, uv2, uvn2, mask2

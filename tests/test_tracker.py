@@ -64,3 +64,26 @@ def test_redetection_fills_budget():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_stereo_pair_tracking():
+    """Right-eye measurements = left shifted by a known disparity."""
+    base = texture(h=240, w=320, seed=9)
+    disparity = 7.0
+    st = tracker.init_tracker(240, 320, 50)
+    for k, (dx, dy) in enumerate([(0.0, 0.0), (3.0, 1.0)]):
+        img_l = shift_image(base, dx, dy)
+        img_r = shift_image(base, dx - disparity, dy)  # right eye shifted
+        st, ids, uv, uvn, mask = tracker.track_frame_stereo(
+            st, img_l, img_r, ZETA, ZETA, PARAMS, first_frame=(k == 0))
+    m = np.array(mask)
+    assert m[0].sum() > 25, "left eye lost features"
+    assert m[1].sum() > 15, f"stereo join too sparse: {m[1].sum()}"
+    both = m[0] & m[1]
+    d = np.array(uv)[0][both] - np.array(uv)[1][both]
+    assert np.abs(np.median(d[:, 0]) - disparity) < 0.3, \
+        f"disparity {np.median(d[:, 0])}"
+    assert np.abs(np.median(d[:, 1])) < 0.3
+    # shared ids across the pair
+    ids_np = np.array(ids)
+    np.testing.assert_array_equal(ids_np[0][both], ids_np[1][both])
