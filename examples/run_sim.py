@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--plot", default="", help="write state-error/3σ plot PNG")
     ap.add_argument("--save-est", default="", help="write TUM estimate file")
     ap.add_argument("--save-gt", default="", help="write TUM groundtruth file")
+    ap.add_argument("--save-full", default="",
+                    help="write npz with est+gt+pose covariance "
+                         "(save_total_state parity; input to "
+                         "examples/error_simulation.py)")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +108,16 @@ def main():
             traj_io.save_tum(args.save_gt, ts, gt_p,
                              traj_io.rot_to_quat_xyzw(np.swapaxes(R_gt, -1, -2)))
             print(f"wrote {args.save_gt}")
+
+    if args.save_full:
+        # ROSVisualizerHelper::sim_save_total_state_to_file parity: est, gt,
+        # and recorded covariance for offline consistency evaluation
+        np.savez(
+            args.save_full,
+            t=ts, p_est=np.array(ps), q_est=np.array(qs),
+            p_gt=gt_p, q_gt=gt_q, cov6=np.array(covs),
+        )
+        print(f"wrote {args.save_full}")
 
     if args.plot:
         # ResultSimulation::plot_state parity: per-axis error with 3σ bounds
