@@ -24,12 +24,55 @@ import jax.numpy as jnp
 from open_vins_tpu.ops import lie
 
 GLOBAL_3D = "GLOBAL_3D"
+GLOBAL_FULL_INVERSE_DEPTH = "GLOBAL_FULL_INVERSE_DEPTH"
 ANCHORED_3D = "ANCHORED_3D"
+ANCHORED_FULL_INVERSE_DEPTH = "ANCHORED_FULL_INVERSE_DEPTH"
 ANCHORED_MSCKF_INVERSE_DEPTH = "ANCHORED_MSCKF_INVERSE_DEPTH"
 
 
 def is_anchored(rep: str) -> bool:
+    return rep.startswith("ANCHORED")
+
+
+def needs_lam_jacobian(rep: str) -> bool:
+    """True when λ is not the plain global xyz (∂p_FinG/∂λ ≠ I)."""
     return rep != GLOBAL_3D
+
+
+def _spherical_to_xyz(lam):
+    """(θ, φ, ρ) -> point (UpdaterHelper.cpp:44-70 convention):
+    p = (1/ρ)[cosθ sinφ, sinθ sinφ, cosφ]."""
+    th, phi, rho = lam[0], lam[1], lam[2]
+    rho = jnp.where(jnp.abs(rho) > 1e-8, rho, 1e-8)
+    return (1.0 / rho) * jnp.asarray(
+        [jnp.cos(th) * jnp.sin(phi), jnp.sin(th) * jnp.sin(phi), jnp.cos(phi)]
+    )
+
+
+def _xyz_to_spherical(p):
+    n = jnp.maximum(jnp.linalg.norm(p), 1e-8)
+    rho = 1.0 / n
+    phi = jnp.arccos(jnp.clip(p[2] / n, -1.0, 1.0))
+    th = jnp.arctan2(p[1], p[0])
+    return jnp.asarray([th, phi, rho])
+
+
+def _spherical_jacobian(lam):
+    """∂p/∂(θ,φ,ρ) (UpdaterHelper.cpp:58-70 matrix)."""
+    th, phi, rho = lam[0], lam[1], lam[2]
+    rho = jnp.where(jnp.abs(rho) > 1e-8, rho, 1e-8)
+    s_t, c_t = jnp.sin(th), jnp.cos(th)
+    s_p, c_p = jnp.sin(phi), jnp.cos(phi)
+    inv = 1.0 / rho
+    inv2 = inv * inv
+    return jnp.asarray(
+        [
+            [-inv * s_t * s_p, inv * c_t * c_p, -inv2 * c_t * s_p],
+            [inv * c_t * s_p, inv * s_t * c_p, -inv2 * s_t * s_p],
+            [0.0, -inv * s_p, -inv2 * c_p],
+        ],
+        dtype=lam.dtype,
+    )
 
 
 def anchor_frame(q_clone, p_clone, q_ext, p_ext):
@@ -42,27 +85,33 @@ def anchor_frame(q_clone, p_clone, q_ext, p_ext):
 
 
 def lam_to_pFinA(rep: str, lam):
-    if rep == ANCHORED_3D:
+    if rep in (ANCHORED_3D, GLOBAL_3D):
         return lam
     if rep == ANCHORED_MSCKF_INVERSE_DEPTH:
         rho = jnp.where(jnp.abs(lam[2]) > 1e-8, lam[2], 1e-8)
         return jnp.asarray([lam[0] / rho, lam[1] / rho, 1.0 / rho])
+    if rep in (ANCHORED_FULL_INVERSE_DEPTH, GLOBAL_FULL_INVERSE_DEPTH):
+        return _spherical_to_xyz(lam)
     raise ValueError(rep)
 
 
 def pFinA_to_lam(rep: str, p_FinA):
-    if rep == ANCHORED_3D:
+    if rep in (ANCHORED_3D, GLOBAL_3D):
         return p_FinA
     if rep == ANCHORED_MSCKF_INVERSE_DEPTH:
         z = jnp.where(jnp.abs(p_FinA[2]) > 1e-8, p_FinA[2], 1e-8)
         return jnp.asarray([p_FinA[0] / z, p_FinA[1] / z, 1.0 / z])
+    if rep in (ANCHORED_FULL_INVERSE_DEPTH, GLOBAL_FULL_INVERSE_DEPTH):
+        return _xyz_to_spherical(p_FinA)
     raise ValueError(rep)
 
 
 def to_global(rep: str, lam, q_clone, p_clone, q_ext, p_ext):
-    """λ -> p_FinG given the anchor pose (no-op for GLOBAL_3D)."""
+    """λ -> p_FinG given the anchor pose (anchor ignored for GLOBAL_*)."""
     if rep == GLOBAL_3D:
         return lam
+    if rep == GLOBAL_FULL_INVERSE_DEPTH:
+        return _spherical_to_xyz(lam)
     R_GtoA, p_AinG = anchor_frame(q_clone, p_clone, q_ext, p_ext)
     return R_GtoA.T @ lam_to_pFinA(rep, lam) + p_AinG
 
@@ -71,6 +120,8 @@ def from_global(rep: str, p_FinG, q_clone, p_clone, q_ext, p_ext):
     """p_FinG -> λ given the anchor pose."""
     if rep == GLOBAL_3D:
         return p_FinG
+    if rep == GLOBAL_FULL_INVERSE_DEPTH:
+        return _xyz_to_spherical(p_FinG)
     R_GtoA, p_AinG = anchor_frame(q_clone, p_clone, q_ext, p_ext)
     return pFinA_to_lam(rep, R_GtoA @ (p_FinG - p_AinG))
 
@@ -79,10 +130,14 @@ def d_pFinG_d_lam(rep: str, lam, q_clone, q_ext):
     """[3,3] representation Jacobian ∂p_FinG/∂λ (UpdaterHelper.cpp:32-190)."""
     if rep == GLOBAL_3D:
         return jnp.eye(3, dtype=lam.dtype)
+    if rep == GLOBAL_FULL_INVERSE_DEPTH:
+        return _spherical_jacobian(lam)
     R_GtoA = lie.quat_2_rot(q_ext) @ lie.quat_2_rot(q_clone)
     if rep == ANCHORED_3D:
         return R_GtoA.T
-    # inverse depth: ∂p_FinA/∂(α,β,ρ)
+    if rep == ANCHORED_FULL_INVERSE_DEPTH:
+        return R_GtoA.T @ _spherical_jacobian(lam)
+    # MSCKF inverse depth: ∂p_FinA/∂(α,β,ρ)
     rho = jnp.where(jnp.abs(lam[2]) > 1e-8, lam[2], 1e-8)
     d = jnp.asarray(
         [
@@ -104,7 +159,7 @@ def d_pFinG_d_anchor(rep: str, lam, q_clone, q_ext, p_ext):
     Evaluate at FEJ values for consistency (UpdaterHelper.cpp:87-96).
     """
     dtype = lam.dtype
-    if rep == GLOBAL_3D:
+    if not is_anchored(rep):
         z = jnp.zeros((3, 3), dtype)
         return z, z
     R_GtoI = lie.quat_2_rot(q_clone)

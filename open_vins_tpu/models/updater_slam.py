@@ -48,7 +48,7 @@ def _anchor_of(state: VioState, slot, fej: bool):
 def landmark_global(state: VioState, cfg: FilterConfig, slot, fej: bool):
     """p_FinG of landmark `slot` under cfg.feat_rep_slam (FEJ optional)."""
     lam = take1(state.slam_p_fej if fej else state.slam_p, slot)
-    if not lrep.is_anchored(cfg.feat_rep_slam):
+    if not lrep.needs_lam_jacobian(cfg.feat_rep_slam):
         return lam
     _, q_c, p_c, q_e, p_e = _anchor_of(state, slot, fej)
     return lrep.to_global(cfg.feat_rep_slam, lam, q_c, p_c, q_e, p_e)
@@ -61,19 +61,20 @@ def _chain_anchored(state: VioState, cfg: FilterConfig, slot, H_x, H_fg):
     Returns (H_x', H_lam).
     """
     rep = cfg.feat_rep_slam
-    if not lrep.is_anchored(rep):
+    if not lrep.needs_lam_jacobian(rep):
         return H_x, H_fg
     fej = cfg.use_fej
     a_slot, q_c, p_c, q_e, p_e = _anchor_of(state, slot, fej)
     lam = take1(state.slam_p_fej if fej else state.slam_p, slot)
     dpG_dlam = lrep.d_pFinG_d_lam(rep, lam, q_c, q_e)
-    dth, dp = lrep.d_pFinG_d_anchor(rep, lam, q_c, q_e, p_e)
     H_lam = H_fg @ dpG_dlam
-    rows = H_fg.shape[0]
-    off = cfg.clones_off + 6 * a_slot
-    block = jax.lax.dynamic_slice(H_x, (0, off), (rows, 6))
-    block = block + jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1)
-    H_x = jax.lax.dynamic_update_slice(H_x, block, (0, off))
+    if lrep.is_anchored(rep):
+        dth, dp = lrep.d_pFinG_d_anchor(rep, lam, q_c, q_e, p_e)
+        rows = H_fg.shape[0]
+        off = cfg.clones_off + 6 * a_slot
+        block = jax.lax.dynamic_slice(H_x, (0, off), (rows, 6))
+        block = block + jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1)
+        H_x = jax.lax.dynamic_update_slice(H_x, block, (0, off))
     return H_x, H_lam
 
 
@@ -143,10 +144,10 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         H_x, H_fg, res, row_mask = uh.feature_jacobian(
             st, cfg, obs_i, p_f[i], p_f[i]
         )
-        # anchored reps: anchor at the newest clone, cam 0; convert the
+        # non-xyz reps: anchor at the newest clone, cam 0; convert the
         # triangulated global point + global-landmark rows into λ space
         rep = cfg.feat_rep_slam
-        if lrep.is_anchored(rep):
+        if lrep.needs_lam_jacobian(rep):
             a_slot = st.head
             q_c = take1(st.clones_q, a_slot)
             p_c = take1(st.clones_p, a_slot)
@@ -154,13 +155,15 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
             p_e = st.calib_ext_p[0]
             lam0 = lrep.from_global(rep, p_f[i], q_c, p_c, q_e, p_e)
             dpG_dlam = lrep.d_pFinG_d_lam(rep, lam0, q_c, q_e)
-            dth, dp = lrep.d_pFinG_d_anchor(rep, lam0, q_c, q_e, p_e)
             H_lam = H_fg @ dpG_dlam
-            rows = H_fg.shape[0]
-            off = cfg.clones_off + 6 * a_slot
-            block = jax.lax.dynamic_slice(H_x, (0, off), (rows, 6))
-            block = block + jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1)
-            H_x = jax.lax.dynamic_update_slice(H_x, block, (0, off))
+            if lrep.is_anchored(rep):
+                dth, dp = lrep.d_pFinG_d_anchor(rep, lam0, q_c, q_e, p_e)
+                rows = H_fg.shape[0]
+                off = cfg.clones_off + 6 * a_slot
+                block = jax.lax.dynamic_slice(H_x, (0, off), (rows, 6))
+                block = block + jnp.concatenate(
+                    [H_fg @ dth, H_fg @ dp], axis=1)
+                H_x = jax.lax.dynamic_update_slice(H_x, block, (0, off))
         else:
             lam0 = p_f[i]
             H_lam = H_fg

@@ -14,7 +14,9 @@ from open_vins_tpu.models import triangulation as tri
 from open_vins_tpu.ops import lie
 from open_vins_tpu.sim import simulator
 
-REPS = [lrep.ANCHORED_3D, lrep.ANCHORED_MSCKF_INVERSE_DEPTH]
+REPS = [lrep.ANCHORED_3D, lrep.ANCHORED_MSCKF_INVERSE_DEPTH,
+        lrep.ANCHORED_FULL_INVERSE_DEPTH]
+GLOBAL_REPS = [lrep.GLOBAL_FULL_INVERSE_DEPTH]
 
 
 def rand_pose(seed):
@@ -118,3 +120,35 @@ class TestClosedLoopAnchored:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestGlobalInverseDepth:
+    def test_roundtrip_and_jacobian(self):
+        rep = lrep.GLOBAL_FULL_INVERSE_DEPTH
+        q_c, p_c, q_e, p_e = rand_pose(5)
+        p_G = jnp.asarray([2.0, -1.5, 4.0])
+        lam = lrep.from_global(rep, p_G, q_c, p_c, q_e, p_e)
+        back = lrep.to_global(rep, lam, q_c, p_c, q_e, p_e)
+        np.testing.assert_allclose(np.array(back), np.array(p_G), atol=1e-4)
+        J = np.array(lrep.d_pFinG_d_lam(rep, lam, q_c, q_e))
+        eps = 1e-3
+        for k in range(3):
+            d = jnp.zeros(3).at[k].set(eps)
+            fd = (np.array(lrep.to_global(rep, lam + d, q_c, p_c, q_e, p_e))
+                  - np.array(back)) / eps
+            np.testing.assert_allclose(J[:, k], fd, atol=3e-2, rtol=3e-2)
+
+    def test_closed_loop_global_inverse(self):
+        cfg = FilterConfig(max_clones=11, max_slam=10, num_cams=1,
+                           max_msckf_in_update=25,
+                           feat_rep_slam=lrep.GLOBAL_FULL_INVERSE_DEPTH)
+        sim = simulator.build(PARAMS, seed=21)
+        run = runner.stage_run(sim, PARAMS)
+        state, outs = jax.jit(
+            lambda r: runner.run_filter(cfg, TRI, sim, PARAMS, r)
+        )(run)
+        ps = np.array(outs[1])
+        gt = np.array(run.gt_p)[1:]
+        rmse = np.sqrt(((ps - gt) ** 2).sum(1).mean())
+        assert np.isfinite(np.array(state.cov)).all()
+        assert rmse < 0.10, f"GLOBAL_FULL_INVERSE_DEPTH RMSE {rmse:.3f}"
