@@ -304,11 +304,12 @@ def initialize_landmark(
         slam_valid=state.slam_valid.at[slot].set(True),
     )
 
-    # leftover rows (4..m) for the nullspace-style update
+    # leftover rows (4..m) for the nullspace-style update.  NOTE: with
+    # interleaved invalid observations the orthogonal rotation spreads the
+    # valid information over ALL rows (not just the leading n_valid), and
+    # every rotated row remains a legitimate measurement with iid σ noise —
+    # rows stemming purely from zeroed inputs are exactly zero and harmless.
     H_up = Hx_rot[3:]
     res_up = res_rot[3:]
-    n_valid = jnp.sum(row_mask.astype(jnp.int32))
-    up_mask = (jnp.arange(m - 3) + 3) < n_valid
-    H_up = jnp.where(up_mask[:, None], H_up, 0.0)
-    res_up = jnp.where(up_mask, res_up, 0.0)
+    up_mask = jnp.ones((m - 3,), dtype=bool)
     return new_state, H_up, res_up, up_mask
