@@ -178,7 +178,9 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         )
         # chi2 gate on the leftover system before accepting
         gamma = uh.chi2_statistic(st.cov, H_up, res_up, sigma)
-        dof = jnp.maximum(jnp.sum(up_mask.astype(jnp.int32)), 1)
+        # dof = true valid measurement rows minus the 3 landmark dof (the
+        # rotated leftover rows are all kept, but only n_valid carry info)
+        dof = jnp.maximum(jnp.sum(row_mask.astype(jnp.int32)) - 3, 1)
         ok = ok & jnp.isfinite(gamma) & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier)
         r_diag = jnp.where(up_mask, sigma**2, 1.0)
         st3 = ekf.ekf_update(st2, cfg, H_up, res_up, r_diag)
