@@ -110,8 +110,8 @@ def augment_clone(state: VioState, cfg: FilterConfig, w_hat) -> VioState:
     corner = new_rows @ J.T  # [6, 6]
 
     cov = state.cov
-    cov = jax.lax.dynamic_update_slice(cov, new_rows, (off, 0))
-    cov = jax.lax.dynamic_update_slice(cov, new_rows.T, (0, off))
+    cov = jax.lax.dynamic_update_slice(cov, new_rows, (off, off * 0))
+    cov = jax.lax.dynamic_update_slice(cov, new_rows.T, (off * 0, off))
     cov = jax.lax.dynamic_update_slice(cov, corner, (off, off))
 
     C = cfg.max_clones
@@ -137,8 +137,8 @@ def marginalize_clone(state: VioState, cfg: FilterConfig, slot) -> VioState:
     off = cfg.clones_off + 6 * slot
     D = cfg.state_dim
     z_rows = jnp.zeros((6, D), dtype=state.cov.dtype)
-    cov = jax.lax.dynamic_update_slice(state.cov, z_rows, (off, 0))
-    cov = jax.lax.dynamic_update_slice(cov, z_rows.T, (0, off))
+    cov = jax.lax.dynamic_update_slice(state.cov, z_rows, (off, off * 0))
+    cov = jax.lax.dynamic_update_slice(cov, z_rows.T, (off * 0, off))
     return state._replace(
         cov=cov,
         clone_valid=state.clone_valid.at[slot].set(False),
@@ -152,8 +152,8 @@ def marginalize_slam_slot(state: VioState, cfg: FilterConfig, slot) -> VioState:
     off = cfg.slam_off + 3 * slot
     D = cfg.state_dim
     z_rows = jnp.zeros((3, D), dtype=state.cov.dtype)
-    cov = jax.lax.dynamic_update_slice(state.cov, z_rows, (off, 0))
-    cov = jax.lax.dynamic_update_slice(cov, z_rows.T, (0, off))
+    cov = jax.lax.dynamic_update_slice(state.cov, z_rows, (off, off * 0))
+    cov = jax.lax.dynamic_update_slice(cov, z_rows.T, (off * 0, off))
     return state._replace(
         cov=cov,
         slam_valid=state.slam_valid.at[slot].set(False),
@@ -286,20 +286,23 @@ def initialize_landmark(
 
     off = cfg.slam_off + 3 * slot
     cov = state.cov
-    cov = jax.lax.dynamic_update_slice(cov, P_fx, (off, 0))
-    cov = jax.lax.dynamic_update_slice(cov, P_fx.T, (0, off))
+    cov = jax.lax.dynamic_update_slice(cov, P_fx, (off, off * 0))
+    cov = jax.lax.dynamic_update_slice(cov, P_fx.T, (off * 0, off))
     cov = jax.lax.dynamic_update_slice(cov, 0.5 * (P_ff + P_ff.T), (off, off))
 
     # apply the mean correction for the landmark: δf = R1^{-1} res1
     # (the reference folds this into Landmark::update via the combined system;
-    # here the triangulated p_f is corrected by the rotated residual)
+    # here the triangulated p_f is corrected by the rotated residual).
+    # FEJ keeps the *triangulated* value — the reference sets the landmark's
+    # fej before StateHelper::initialize and Landmark::update only moves the
+    # estimate (UpdaterSLAM.cpp:218-222, StateHelper.cpp:570).
     df = R1_inv @ res1
     p_f_new = p_f + df
 
     new_state = state._replace(
         cov=cov,
         slam_p=state.slam_p.at[slot].set(p_f_new),
-        slam_p_fej=state.slam_p_fej.at[slot].set(p_f_new),
+        slam_p_fej=state.slam_p_fej.at[slot].set(p_f),
         slam_id=state.slam_id.at[slot].set(feat_id.astype(jnp.int32)),
         slam_valid=state.slam_valid.at[slot].set(True),
     )

@@ -47,8 +47,15 @@ class FilterConfig(NamedTuple):
     integration: str = "rk4"  # "rk4" | "discrete" (StateOptions parity)
     use_fej: bool = True
     use_zupt: bool = False  # zero-velocity updates (UpdaterZeroVelocity)
-    feat_rep_slam: str = "GLOBAL_3D"  # | ANCHORED_3D |
-    # ANCHORED_MSCKF_INVERSE_DEPTH (LandmarkRepresentation parity)
+    feat_rep_msckf: str = "GLOBAL_3D"  # parsed for parity; the MSCKF path
+    # nullspace-projects H_f, making all 3-dof parameterizations equivalent
+    feat_rep_slam: str = "GLOBAL_3D"  # | GLOBAL_FULL_INVERSE_DEPTH |
+    # ANCHORED_3D | ANCHORED_FULL_INVERSE_DEPTH |
+    # ANCHORED_MSCKF_INVERSE_DEPTH | ANCHORED_INVERSE_DEPTH_SINGLE
+    # (LandmarkRepresentation.h:38-45 parity)
+    feat_rep_aruco: str = "GLOBAL_3D"
+    dt_slam_delay: float = 0.0  # seconds before first SLAM delayed init
+    # (VioManagerOptions dt_slam_delay, VioManager.cpp:442)
     fast_compress: bool = False  # OPT-IN normal-eq compression instead of
     # tall QR.  CAVEAT: in f32 the required Cholesky jitter (~eps*||H^T H||)
     # injects spurious information on weakly-constrained dims and corrupts
@@ -63,6 +70,18 @@ class FilterConfig(NamedTuple):
     sigma_pix: float = 1.0
     gravity_mag: float = 9.81
     chi2_multiplier: float = 1.0
+    # per-updater measurement noise / gating (UpdaterOptions per updater:
+    # up_msckf_*, up_slam_*, up_aruco_* in the reference estimator config)
+    sigma_pix_slam: float = 1.0
+    chi2_multiplier_slam: float = 1.0
+    sigma_pix_aruco: float = 1.0
+    chi2_multiplier_aruco: float = 1.0
+    # ZUPT options (UpdaterZeroVelocity ctor args / zupt_* yaml keys)
+    zupt_noise_multiplier: float = 10.0
+    zupt_max_velocity: float = 0.25
+    zupt_max_disparity: float = 0.5
+    zupt_chi2_multiplier: float = 1.0  # <= 0 disables the chi2 gate
+    zupt_only_at_beginning: bool = False
 
     # ---- layout offsets -------------------------------------------------
     @property

@@ -44,7 +44,8 @@ class VioState(NamedTuple):
     clone_valid: jax.Array  # [C] bool
     head: jax.Array  # int32 slot of newest clone (-1 when empty)
     n_clones: jax.Array  # int32 number of valid clones
-    # SLAM landmarks (GLOBAL_3D representation; anchored reps planned)
+    # SLAM landmarks (λ vectors under cfg.feat_rep_slam; anchored reps use
+    # the anchor slot/cam columns below)
     slam_p: jax.Array  # [L, 3]
     slam_p_fej: jax.Array  # [L, 3]
     slam_id: jax.Array  # [L] int32 feature id, -1 = free slot
@@ -67,6 +68,10 @@ class VioState(NamedTuple):
     cov: jax.Array  # [D, D]
     # bookkeeping
     t: jax.Array  # scalar current state time (relative seconds, imu clock)
+    t_init: jax.Array  # scalar time the filter was initialized at
+    # (VioManager startup_time parity — gates dt_slam_delay)
+    moved: jax.Array  # bool — platform has moved since init (a ZUPT attempt
+    # was rejected once; gates zupt_only_at_beginning)
 
 
 def init_state(cfg: FilterConfig, dtype=jnp.float32) -> VioState:
@@ -102,6 +107,8 @@ def init_state(cfg: FilterConfig, dtype=jnp.float32) -> VioState:
         imu_q_gyro=qid,
         cov=jnp.zeros((D, D), dtype=dtype),
         t=jnp.asarray(0.0, dtype=dtype),
+        t_init=jnp.asarray(0.0, dtype=dtype),
+        moved=jnp.asarray(False),
     )
 
 

@@ -183,9 +183,11 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         lambda a, b: jnp.where(any_ok, a, b), new_state, state
     )
 
-    # cleanup: all lost rows die; used full-window rows die too
+    # cleanup: lost rows die (except rows owned by SLAM landmarks — those
+    # may carry unconsumed measurements for one final slam.update, and evict
+    # frees them afterwards); used full-window rows die too
     used = jnp.zeros_like(lost).at[rows].set(feat_ok, mode="drop")
-    table = ft.free_rows(table, lost | used)
+    table = ft.free_rows(table, (lost & ~is_slam) | used)
 
     diag = StepDiag(
         n_msckf=jnp.sum(feat_ok.astype(jnp.int32)),
@@ -265,11 +267,12 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
     state, table, diag = msckf_update(state, cfg, table, tri_opts, reserved)
 
     # 6. SLAM: update in-state landmarks, init new ones, evict dead ones
-    #    (UpdaterSLAM order per VioManager.cpp:502-548)
+    #    (UpdaterSLAM order per VioManager.cpp:502-548); both update and
+    #    delayed-init consume their measurements from the table
     if cfg.max_slam > 0:
-        state, _, n_used = slam.update(state, cfg, table)
-        state, _ = slam.delayed_init(state, cfg, table, tri_opts,
-                                     gather_feature_obs)
+        state, table, _, n_used = slam.update(state, cfg, table)
+        state, table, _ = slam.delayed_init(state, cfg, table, tri_opts,
+                                            gather_feature_obs)
         state, table = slam.evict(state, cfg, table)
         diag = diag._replace(
             n_slam=jnp.sum(state.slam_valid.astype(jnp.int32)),
@@ -312,6 +315,7 @@ def initialize_from_gt(cfg: FilterConfig, q, p, v, bg, ba, t,
     st = st._replace(
         q=q, q_fej=q, p=p, p_fej=p, v=v, v_fej=v, bg=bg, ba=ba,
         t=jnp.asarray(t, dtype=st.cov.dtype),
+        t_init=jnp.asarray(t, dtype=st.cov.dtype),
         calib_ext_q=calib_ext_q, calib_ext_p=calib_ext_p, calib_intr=calib_intr,
     )
     D = cfg.state_dim

@@ -77,20 +77,26 @@ def feature_jacobian(
         uv_pred = cameras.distort(cfg.cam_model, zeta, uvn_pred)
         res = uv - uv_pred
 
-        # chain: dz/duvn (distortion) and duvn/dpC (projection)
+        # FEJ-linearized geometry (UpdaterHelper.cpp:353-363): the reference
+        # recomputes the camera-frame point at the first-estimate values and
+        # builds dzn/dpC there; only the distortion Jacobian dz/dzn stays at
+        # the current-estimate prediction.
+        p_FinI_fej = R_GtoI_fej @ (p_f_fej - p_c_fej)
+        p_FinC_fej = R_ItoC @ p_FinI_fej + p_IinC
+        z_fej = jnp.where(jnp.abs(p_FinC_fej[2]) > 1e-6, p_FinC_fej[2], 1e-6)
+
+        # chain: dz/duvn (distortion, current) and duvn/dpC (projection, FEJ)
         J_dist, J_zeta = cameras.distort_jacobians(cfg.cam_model, zeta, uvn_pred)
-        inv_z = 1.0 / z_safe
+        inv_z = 1.0 / z_fej
         J_proj = jnp.asarray(
             [
-                [inv_z, 0.0, -p_FinC[0] * inv_z * inv_z],
-                [0.0, inv_z, -p_FinC[1] * inv_z * inv_z],
+                [inv_z, 0.0, -p_FinC_fej[0] * inv_z * inv_z],
+                [0.0, inv_z, -p_FinC_fej[1] * inv_z * inv_z],
             ],
             dtype=dtype,
         )
         dz_dpC = J_dist @ J_proj  # [2,3]
 
-        # FEJ-linearized geometry terms (UpdaterHelper.cpp:353-363)
-        p_FinI_fej = R_GtoI_fej @ (p_f_fej - p_c_fej)
         dpC_dth = R_ItoC @ lie.skew(p_FinI_fej)  # [3,3]  w.r.t. clone δθ
         dpC_dp = -(R_ItoC @ R_GtoI_fej)  # w.r.t. clone δp
         dpC_dpf = R_ItoC @ R_GtoI_fej  # w.r.t. feature
@@ -102,18 +108,19 @@ def feature_jacobian(
         # scatter into dense rows
         row = jnp.zeros((2, D), dtype=dtype)
         off = cfg.clones_off + 6 * slot
-        row = jax.lax.dynamic_update_slice(row, H_th, (0, off))
-        row = jax.lax.dynamic_update_slice(row, H_p, (0, off + 3))
+        row = jax.lax.dynamic_update_slice(row, H_th, (off * 0, off))
+        row = jax.lax.dynamic_update_slice(row, H_p, (off * 0, off + 3))
         if cfg.calib_cam_extrinsics:
             # d pC / dθ_calib = ⌊R_ItoC p_FinI⌋ ; d pC / dp_calib = I
-            H_cth = dz_dpC @ lie.skew(R_ItoC @ p_FinI)
+            # (FEJ point, matching the reference's dpfc_dcalib at p_FinCi_fej)
+            H_cth = dz_dpC @ lie.skew(R_ItoC @ p_FinI_fej)
             H_cp = dz_dpC
             coff = cfg.calib_ext_off + 6 * cam
-            row = jax.lax.dynamic_update_slice(row, H_cth, (0, coff))
-            row = jax.lax.dynamic_update_slice(row, H_cp, (0, coff + 3))
+            row = jax.lax.dynamic_update_slice(row, H_cth, (coff * 0, coff))
+            row = jax.lax.dynamic_update_slice(row, H_cp, (coff * 0, coff + 3))
         if cfg.calib_cam_intrinsics:
             ioff = cfg.calib_intr_off + 8 * cam
-            row = jax.lax.dynamic_update_slice(row, J_zeta, (0, ioff))
+            row = jax.lax.dynamic_update_slice(row, J_zeta, (ioff * 0, ioff))
 
         w = valid.astype(dtype)
         return row * w, H_f_o * w, res * w

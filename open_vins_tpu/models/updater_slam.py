@@ -5,15 +5,17 @@ Capability parity with ov_msckf::UpdaterSLAM (UpdaterSLAM.cpp:58-647):
   * delayed_init (…:100-240): triangulate a mature track, split its stacked
     system into an invertible landmark part + a state update part (QR split,
     StateHelper::initialize parity) — here via core.ekf.initialize_landmark,
-  * update (…:300-470): landmarks in the state are updated with the newest
-    frame's measurements, chi2-gated with an update_fail_count penalty,
-    batched into a single EKF update,
+  * update (…:300-470): every unconsumed measurement of every in-state
+    landmark is stacked, chi2-gated with an update_fail_count penalty,
+    compressed, and applied as one batched EKF update; consumed
+    measurements are cleared from the table (to_delete parity),
   * eviction: landmarks whose track died or that keep failing the gate are
     marginalized (VioManager.cpp:474-481 + StateHelper::marginalize_slam).
 
-Representation: GLOBAL_3D (LandmarkRepresentation.h:38-45).  Anchored
-representations and anchor changes (UpdaterSLAM::change_anchors) are a
-planned extension; GLOBAL_3D needs no anchor maintenance.
+Representations (LandmarkRepresentation.h:38-45): GLOBAL_3D,
+GLOBAL_FULL_INVERSE_DEPTH, ANCHORED_3D, ANCHORED_FULL_INVERSE_DEPTH,
+ANCHORED_MSCKF_INVERSE_DEPTH — anchored reps carry anchor (clone, cam)
+slots and are re-anchored on marginalization (change_anchors).
 """
 
 from __future__ import annotations
@@ -30,7 +32,8 @@ from open_vins_tpu.models import triangulation as tri
 from open_vins_tpu.models import update_helper as uh
 from open_vins_tpu.ops.indexing import take1
 
-MAX_FAIL = 3  # eviction threshold on consecutive chi2 failures
+MAX_FAIL = 2  # eviction on chi2-failure count (reference: fail_count > 1,
+# VioManager.cpp:476)
 MAX_INIT_PER_FRAME = 6  # landmarks initialized per frame (static bound)
 
 
@@ -46,17 +49,32 @@ def _anchor_of(state: VioState, slot, fej: bool):
 
 
 def landmark_global(state: VioState, cfg: FilterConfig, slot, fej: bool):
-    """p_FinG of landmark `slot` under cfg.feat_rep_slam (FEJ optional)."""
+    """p_FinG of landmark `slot` under cfg.feat_rep_slam.
+
+    For anchored (relative) representations the FEJ global position IS the
+    current one — the reference sets p_FinG_fej = p_FinG for relative reps
+    (UpdaterHelper.cpp:284-287), since the anchored value's FEJ lives in the
+    anchor-frame linearization instead (see _chain_anchored).
+    """
+    rep = cfg.feat_rep_slam
+    if fej and lrep.is_anchored(rep):
+        fej = False
     lam = take1(state.slam_p_fej if fej else state.slam_p, slot)
-    if not lrep.needs_lam_jacobian(cfg.feat_rep_slam):
+    if not lrep.needs_lam_jacobian(rep):
         return lam
-    _, q_c, p_c, q_e, p_e = _anchor_of(state, slot, fej)
-    return lrep.to_global(cfg.feat_rep_slam, lam, q_c, p_c, q_e, p_e)
+    _, q_c, p_c, q_e, p_e = _anchor_of(state, slot, fej=False)
+    return lrep.to_global(rep, lam, q_c, p_c, q_e, p_e)
 
 
-def _chain_anchored(state: VioState, cfg: FilterConfig, slot, H_x, H_fg):
+def _chain_anchored(state: VioState, cfg: FilterConfig, slot, H_x, H_fg,
+                    p_G_cur):
     """Convert global-landmark rows (H_fg = ∂z/∂p_FinG) to λ-rows and fold
-    the anchor-pose columns into H_x.  FEJ linearization values.
+    the anchor-pose columns into H_x.
+
+    FEJ linearization points follow the reference exactly
+    (UpdaterHelper.cpp:87-96): for anchored reps the λ/anchor Jacobians are
+    evaluated at the *current* global point transformed into the *FEJ*
+    anchor frame; for global inverse depth at the stored FEJ λ.
 
     Returns (H_x', H_lam).
     """
@@ -65,16 +83,19 @@ def _chain_anchored(state: VioState, cfg: FilterConfig, slot, H_x, H_fg):
         return H_x, H_fg
     fej = cfg.use_fej
     a_slot, q_c, p_c, q_e, p_e = _anchor_of(state, slot, fej)
-    lam = take1(state.slam_p_fej if fej else state.slam_p, slot)
-    dpG_dlam = lrep.d_pFinG_d_lam(rep, lam, q_c, q_e)
+    if lrep.is_anchored(rep):
+        lam_lin = lrep.from_global(rep, p_G_cur, q_c, p_c, q_e, p_e)
+    else:
+        lam_lin = take1(state.slam_p_fej if fej else state.slam_p, slot)
+    dpG_dlam = lrep.d_pFinG_d_lam(rep, lam_lin, q_c, q_e)
     H_lam = H_fg @ dpG_dlam
     if lrep.is_anchored(rep):
-        dth, dp = lrep.d_pFinG_d_anchor(rep, lam, q_c, q_e, p_e)
+        dth, dp = lrep.d_pFinG_d_anchor(rep, lam_lin, q_c, q_e, p_e)
         rows = H_fg.shape[0]
         off = cfg.clones_off + 6 * a_slot
-        block = jax.lax.dynamic_slice(H_x, (0, off), (rows, 6))
+        block = jax.lax.dynamic_slice(H_x, (off * 0, off), (rows, 6))
         block = block + jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1)
-        H_x = jax.lax.dynamic_update_slice(H_x, block, (0, off))
+        H_x = jax.lax.dynamic_update_slice(H_x, block, (off * 0, off))
     return H_x, H_lam
 
 
@@ -89,7 +110,8 @@ def promotion_candidates(state: VioState, cfg: FilterConfig,
     """[T] bool — rows reserved for SLAM promotion this frame: the
     longest-tracked full-window rows, bounded by free slot count and the
     per-frame init cap (VioManager.cpp:410-453 triage)."""
-    window_full = state.n_clones >= cfg.max_clones
+    delay_ok = (state.t - state.t_init) >= cfg.dt_slam_delay
+    window_full = (state.n_clones >= cfg.max_clones) & delay_ok
     fullw = ft.full_window_rows(table, state.n_clones, cfg) & window_full
     already = slam_row_mask(state, table)
     cand = fullw & (~already)
@@ -110,11 +132,14 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     gather_feature_obs, passed in to avoid a circular import).
     """
     if cfg.max_slam == 0:
-        return state, jnp.asarray(0, dtype=jnp.int32)
+        return state, table, jnp.asarray(0, dtype=jnp.int32)
     L = cfg.max_slam
-    sigma = cfg.sigma_pix
+    sigma = cfg.sigma_pix_slam
 
-    window_full = state.n_clones >= cfg.max_clones
+    # dt_slam_delay: no delayed inits until the startup delay has elapsed
+    # (VioManager.cpp:442 `timestamp - startup_time >= params.dt_slam_delay`)
+    delay_ok = (state.t - state.t_init) >= cfg.dt_slam_delay
+    window_full = (state.n_clones >= cfg.max_clones) & delay_ok
     fullw = ft.full_window_rows(table, state.n_clones, cfg) & window_full
     already = slam_row_mask(state, table)
     cand = fullw & (~already)
@@ -145,7 +170,10 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
             st, cfg, obs_i, p_f[i], p_f[i]
         )
         # non-xyz reps: anchor at the newest clone, cam 0; convert the
-        # triangulated global point + global-landmark rows into λ space
+        # triangulated global point + global-landmark rows into λ space.
+        # Values use the current anchor pose; Jacobians linearize at the
+        # triangulated point expressed in the FEJ anchor frame
+        # (UpdaterHelper.cpp:87-96 semantics, same as _chain_anchored).
         rep = cfg.feat_rep_slam
         if lrep.needs_lam_jacobian(rep):
             a_slot = st.head
@@ -154,16 +182,23 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
             q_e = st.calib_ext_q[0]
             p_e = st.calib_ext_p[0]
             lam0 = lrep.from_global(rep, p_f[i], q_c, p_c, q_e, p_e)
-            dpG_dlam = lrep.d_pFinG_d_lam(rep, lam0, q_c, q_e)
+            if cfg.use_fej and lrep.is_anchored(rep):
+                q_cl = take1(st.clones_q_fej, a_slot)
+                p_cl = take1(st.clones_p_fej, a_slot)
+                lam_lin = lrep.from_global(rep, p_f[i], q_cl, p_cl, q_e, p_e)
+            else:
+                q_cl, p_cl = q_c, p_c
+                lam_lin = lam0
+            dpG_dlam = lrep.d_pFinG_d_lam(rep, lam_lin, q_cl, q_e)
             H_lam = H_fg @ dpG_dlam
             if lrep.is_anchored(rep):
-                dth, dp = lrep.d_pFinG_d_anchor(rep, lam0, q_c, q_e, p_e)
-                rows = H_fg.shape[0]
+                dth, dp = lrep.d_pFinG_d_anchor(rep, lam_lin, q_cl, q_e, p_e)
+                nrows = H_fg.shape[0]
                 off = cfg.clones_off + 6 * a_slot
-                block = jax.lax.dynamic_slice(H_x, (0, off), (rows, 6))
+                block = jax.lax.dynamic_slice(H_x, (off * 0, off), (nrows, 6))
                 block = block + jnp.concatenate(
                     [H_fg @ dth, H_fg @ dp], axis=1)
-                H_x = jax.lax.dynamic_update_slice(H_x, block, (0, off))
+                H_x = jax.lax.dynamic_update_slice(H_x, block, (off * 0, off))
         else:
             lam0 = p_f[i]
             H_lam = H_fg
@@ -181,50 +216,75 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         # dof = true valid measurement rows minus the 3 landmark dof (the
         # rotated leftover rows are all kept, but only n_valid carry info)
         dof = jnp.maximum(jnp.sum(row_mask.astype(jnp.int32)) - 3, 1)
-        ok = ok & jnp.isfinite(gamma) & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier)
+        ok = ok & jnp.isfinite(gamma) & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier_slam)
         r_diag = jnp.where(up_mask, sigma**2, 1.0)
         st3 = ekf.ekf_update(st2, cfg, H_up, res_up, r_diag)
         st_new = jax.tree_util.tree_map(
             lambda a, b: jnp.where(ok, a, b), st3, st
         )
-        return st_new, n_done + ok.astype(jnp.int32)
+        return st_new, n_done + ok.astype(jnp.int32), ok
 
-    state, n_init = jax.lax.fori_loop(
-        0, MAX_INIT_PER_FRAME, body, (state, jnp.asarray(0, dtype=jnp.int32))
+    def body_wrap(i, carry):
+        st, n_done, init_ok = carry
+        st, n_done, ok = body(i, (st, n_done))
+        return st, n_done, init_ok.at[i].set(ok)
+
+    state, n_init, init_ok = jax.lax.fori_loop(
+        0, MAX_INIT_PER_FRAME, body_wrap,
+        (state, jnp.asarray(0, dtype=jnp.int32),
+         jnp.zeros((MAX_INIT_PER_FRAME,), dtype=bool)),
     )
-    return state, n_init
+    # consume the initializing measurements on success (the reference marks
+    # the feature to_delete after StateHelper::initialize,
+    # UpdaterSLAM.cpp:237) — the stacked multi-frame update would otherwise
+    # re-use the whole window next frame
+    T = table.ids.shape[0]
+    consumed_rows = jnp.zeros((T,), dtype=bool).at[rows].set(
+        init_ok, mode="drop")
+    table = table._replace(mask=table.mask & ~consumed_rows[:, None, None])
+    return state, table, n_init
 
 
 def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
-    """One batched EKF update over all landmarks seen in the current frame.
+    """One batched EKF update over all in-state landmarks' unconsumed
+    measurements.
 
-    Uses only the newest clone's measurements (UpdaterSLAM::update parity:
-    measurements at the new frame update in-state landmarks).
-    Returns (state, fail_count [L], n_used).
+    UpdaterSLAM::update parity (UpdaterSLAM.cpp:254-470): every measurement
+    accumulated since the landmark's last update is stacked (the reference's
+    `max_meas_size += 2 * timestamps.size()` loop over all clone times), the
+    per-landmark system is chi2-gated, and all consumed measurements are
+    cleared from the table afterwards — success or failure — exactly like
+    the reference's `to_delete = true` on every processed feature, so no
+    information is ever used twice.
+
+    Returns (state, table, fail_count [L], n_used).
     """
     if cfg.max_slam == 0:
-        return state, jnp.zeros((0,), dtype=jnp.int32), jnp.asarray(0, jnp.int32)
-    L, N, D = cfg.max_slam, cfg.num_cams, cfg.state_dim
-    sigma = cfg.sigma_pix
-    head = state.head
+        return (state, table, jnp.zeros((0,), dtype=jnp.int32),
+                jnp.asarray(0, jnp.int32))
+    L, C, N, D = cfg.max_slam, cfg.max_clones, cfg.num_cams, cfg.state_dim
+    O = C * N
+    sigma = cfg.sigma_pix_slam
 
     # landmark -> table row (match by id)
     eq = state.slam_id[:, None] == table.ids[None, :]  # [L, T]
     row = jnp.argmax(eq, axis=1)
     has_row = jnp.any(eq, axis=1) & state.slam_valid & (state.slam_id >= 0)
 
-    from open_vins_tpu.ops.indexing import take1
+    slot_idx = jnp.tile(
+        jnp.arange(C, dtype=jnp.int32)[:, None], (1, N)).reshape(O)
+    cam_idx = jnp.tile(
+        jnp.arange(N, dtype=jnp.int32)[None, :], (C, 1)).reshape(O)
 
     def per_landmark(slot):
         r = row[slot]
-        # big-table row gather is fine; the [C]-dim head lookup uses take1
-        # (axon small-gather miscompile workaround)
         obs = uh.GatheredObs(
-            clone_slot=jnp.full((N,), head, dtype=jnp.int32),
-            cam=jnp.arange(N, dtype=jnp.int32),
-            uv=take1(table.uv[r], head),  # [N, 2]
-            uvn=take1(table.uvn[r], head),
-            mask=take1(table.mask[r], head) & has_row[slot],
+            clone_slot=slot_idx,
+            cam=cam_idx,
+            uv=table.uv[r].reshape(O, 2),
+            uvn=table.uvn[r].reshape(O, 2),
+            mask=(table.mask[r].reshape(O) & has_row[slot]
+                  & state.clone_valid[slot_idx]),
         )
         p_G_cur = landmark_global(state, cfg, slot, fej=False)
         p_G_fej = (landmark_global(state, cfg, slot, fej=True)
@@ -232,25 +292,31 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
         H_x, H_fg, res, row_mask = uh.feature_jacobian(
             state, cfg, obs, p_G_cur, p_G_fej
         )
-        H_x, H_lam = _chain_anchored(state, cfg, slot, H_x, H_fg)
+        H_x, H_lam = _chain_anchored(state, cfg, slot, H_x, H_fg, p_G_cur)
         # place the landmark rows at its own columns
         off = cfg.slam_off + 3 * slot
-        H_full = jax.lax.dynamic_update_slice(H_x, H_lam, (0, off))
+        H_full = jax.lax.dynamic_update_slice(H_x, H_lam, (off * 0, off))
         gamma = uh.chi2_statistic(state.cov, H_full, res, sigma)
         dof = jnp.maximum(jnp.sum(row_mask.astype(jnp.int32)), 1)
         ok = (
             has_row[slot]
             & (jnp.sum(row_mask) > 0)
             & jnp.isfinite(gamma)
-            & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier)
+            & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier_slam)
         )
         return H_full, res, row_mask, ok
 
     H, res, row_mask, ok = jax.vmap(per_landmark)(jnp.arange(L))
-    keep = (ok[:, None] & row_mask)  # [L, 2N]
-    H_big = jnp.where(keep[..., None], H, 0.0).reshape(L * 2 * N, D)
-    res_big = jnp.where(keep, res, 0.0).reshape(L * 2 * N)
-    r_diag = jnp.full((L * 2 * N,), sigma**2, dtype=H_big.dtype)
+    keep = (ok[:, None] & row_mask)  # [L, 2O]
+    H_big = jnp.where(keep[..., None], H, 0.0).reshape(L * 2 * O, D)
+    res_big = jnp.where(keep, res, 0.0).reshape(L * 2 * O)
+
+    # compress the (mostly-masked) stacked system when it is taller than the
+    # state — the same orthogonal-transform argument as the MSCKF compression
+    # applies since the landmark columns are ordinary state columns here
+    if L * 2 * O > D:
+        H_big, res_big = uh.compress_system(H_big, res_big, D)
+    r_diag = jnp.full((H_big.shape[0],), sigma**2, dtype=H_big.dtype)
 
     any_ok = jnp.any(ok)
     new_state = ekf.ekf_update(state, cfg, H_big, res_big, r_diag)
@@ -258,9 +324,16 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
         lambda a, b: jnp.where(any_ok, a, b), new_state, state
     )
 
-    failed = has_row & jnp.any(row_mask, axis=1) & (~ok)
+    # consume: every landmark with >=1 valid stacked row had its measurements
+    # processed (used or chi2-rejected) — clear them from the table
+    consumed = has_row & jnp.any(row_mask, axis=1)  # [L]
+    consumed_rows = jnp.any(eq & consumed[:, None], axis=0)  # [T]
+    table = table._replace(
+        mask=table.mask & ~consumed_rows[:, None, None])
+
+    failed = consumed & (~ok)
     state = state._replace(slam_fail=state.slam_fail + failed.astype(jnp.int32))
-    return state, failed.astype(jnp.int32), jnp.sum(ok.astype(jnp.int32))
+    return state, table, failed.astype(jnp.int32), jnp.sum(ok.astype(jnp.int32))
 
 
 def change_anchors(state: VioState, cfg: FilterConfig, dying_slot):
@@ -309,15 +382,15 @@ def change_anchors(state: VioState, cfg: FilterConfig, dying_slot):
 
         loff = cfg.slam_off + 3 * slot
         J = jnp.zeros((3, D), dtype)
-        J = jax.lax.dynamic_update_slice(J, J_lam, (0, loff))
+        J = jax.lax.dynamic_update_slice(J, J_lam, (loff * 0, loff))
         J = jax.lax.dynamic_update_slice(
             J, J_xo, (0, cfg.clones_off + 6 * dying_slot))
         J = jax.lax.dynamic_update_slice(
             J, J_xn, (0, cfg.clones_off + 6 * new_slot))
         rows = J @ st.cov
         corner = rows @ J.T
-        cov = jax.lax.dynamic_update_slice(st.cov, rows, (loff, 0))
-        cov = jax.lax.dynamic_update_slice(cov, rows.T, (0, loff))
+        cov = jax.lax.dynamic_update_slice(st.cov, rows, (loff, loff * 0))
+        cov = jax.lax.dynamic_update_slice(cov, rows.T, (loff * 0, loff))
         cov = jax.lax.dynamic_update_slice(
             cov, 0.5 * (corner + corner.T), (loff, loff))
 
@@ -337,15 +410,22 @@ def change_anchors(state: VioState, cfg: FilterConfig, dying_slot):
 
 def evict(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     """Marginalize landmarks whose track died or that keep failing the gate
-    (state.slam_fail carries the update_fail_count).  The evicted landmark's
-    table row is freed too — its measurements were already consumed by SLAM
-    updates and must not be re-used by the MSCKF path (information re-use)."""
+    (state.slam_fail carries the update_fail_count, VioManager.cpp:461-481).
+    A landmark is dead when its feature was not tracked into the current
+    frame (the reference's should_marg when the database entry is gone) or
+    its fail count reached MAX_FAIL.  The evicted landmark's table row is
+    freed too — its measurements were already consumed by SLAM updates and
+    must not be re-used by the MSCKF path (information re-use)."""
     if cfg.max_slam == 0:
         return state, table
     L = cfg.max_slam
     eq = state.slam_id[:, None] == table.ids[None, :]  # [L, T]
     tracked = jnp.any(eq & (table.ids[None, :] >= 0), axis=1)
-    dead = state.slam_valid & ((~tracked) | (state.slam_fail >= MAX_FAIL))
+    # seen this frame: the row's transient `seen` flag (measurements were
+    # consumed by update(), so obs counts cannot distinguish live tracks)
+    seen = jnp.any(eq & table.seen[None, :], axis=1)
+    dead = state.slam_valid & (
+        (~tracked) | (~seen) | (state.slam_fail >= MAX_FAIL))
 
     def body(slot, st):
         st_m = ekf.marginalize_slam_slot(st, cfg, slot)

@@ -26,10 +26,9 @@ from open_vins_tpu.core.state import VioState
 from open_vins_tpu.models.propagator import ImuWindow
 from open_vins_tpu.ops import lie
 
-ZUPT_NOISE_MULT = 10.0  # reference _zupt_noise_multiplier default
-ZUPT_MAX_VELOCITY = 0.25  # m/s gate
-ZUPT_MAX_DISPARITY = 0.5  # px average frame-to-frame disparity gate
-ZUPT_CHI2_MULT = 1.0
+# Thresholds live on FilterConfig (zupt_* fields, parsed from the same yaml
+# keys the reference exposes per dataset: zupt_noise_multiplier,
+# zupt_max_velocity, zupt_max_disparity, zupt_chi2_multipler).
 
 
 def build_system(state: VioState, cfg: FilterConfig, win: ImuWindow):
@@ -94,16 +93,21 @@ def try_zupt(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new,
     st_infl = state._replace(cov=cov_inflated)
 
     # chi2 against the inflated covariance with the noise multiplier
-    r_mult = jnp.asarray(ZUPT_NOISE_MULT, dtype=dtype)
+    r_mult = jnp.asarray(cfg.zupt_noise_multiplier, dtype=dtype)
     S = H @ cov_inflated @ H.T + r_mult * jnp.eye(H.shape[0], dtype=dtype)
     gamma = res @ jnp.linalg.solve(S, res)
     dof = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
-    chi2_ok = jnp.isfinite(gamma) & (
-        gamma < ekf.chi2_gate(dof) * ZUPT_CHI2_MULT
-    )
-    vel_ok = jnp.linalg.norm(state.v) < ZUPT_MAX_VELOCITY
-    disp_ok = disparity < ZUPT_MAX_DISPARITY
+    if cfg.zupt_chi2_multiplier > 0:
+        chi2_ok = jnp.isfinite(gamma) & (
+            gamma < ekf.chi2_gate(dof) * cfg.zupt_chi2_multiplier
+        )
+    else:  # reference: multiplier 0 skips the chi2 gate (disparity decides)
+        chi2_ok = jnp.asarray(True)
+    vel_ok = jnp.linalg.norm(state.v) < cfg.zupt_max_velocity
+    disp_ok = disparity < cfg.zupt_max_disparity
     accepted = chi2_ok & vel_ok & disp_ok
+    if cfg.zupt_only_at_beginning:
+        accepted = accepted & (~state.moved)
 
     r_diag = jnp.where(mask, r_mult, 1.0)
     res_m = jnp.where(mask, res, 0.0)
@@ -112,6 +116,9 @@ def try_zupt(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new,
     out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accepted, a, b), new_state, state
     )
+    # a rejected attempt means the platform moved (reference sets
+    # last_zupt_state_timestamp tracking; gates zupt_only_at_beginning)
+    out = out._replace(moved=out.moved | (~accepted))
     return out, accepted
 
 

@@ -4,9 +4,15 @@ Capability parity with ov_core::YamlParser + VioManagerOptions
 (utils/opencv_yaml_parse.h:58-280, core/VioManagerOptions.h): an
 `estimator_config.yaml` plus `kalibr_imu_chain.yaml` and
 `kalibr_imucam_chain.yaml` (referenced by relative path) are parsed into the
-TPU build's typed configs — FilterConfig, SimParams-compatible noise, and
+TPU build's typed configs — FilterConfig, tracker/init/output options, and
 calibration arrays.  Existing OpenVINS config directories (e.g.
 config/euroc_mav) load unmodified.
+
+Honesty contract: every key the reference's VioManagerOptions consumes is
+either mapped into a typed field here or explicitly listed as
+out-of-scope-with-reason; keys present in the file but recognized by
+neither list produce a warning (the reference prints unused-parameter
+warnings through its YamlParser, opencv_yaml_parse.h:260-280).
 
 Strict-mode parity: `load()` raises KeyError on missing required keys
 (the reference aborts startup via `successful()`).
@@ -14,6 +20,7 @@ Strict-mode parity: `load()` raises KeyError on missing required keys
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import NamedTuple
 
@@ -21,6 +28,8 @@ import numpy as np
 import yaml
 
 from open_vins_tpu.core.layout import FilterConfig
+
+logger = logging.getLogger("open_vins_tpu.config")
 
 
 def _load_yaml(path):
@@ -47,6 +56,57 @@ class ImuCalib(NamedTuple):
     rate: float
 
 
+class TrackerConfig(NamedTuple):
+    """Front-end options (VioManagerOptions tracker block)."""
+
+    use_klt: bool = True
+    num_pts: int = 200
+    fast_threshold: int = 20
+    grid_x: int = 5
+    grid_y: int = 5
+    min_px_dist: int = 10
+    knn_ratio: float = 0.70
+    track_frequency: float = 21.0
+    downsample_cameras: bool = False
+    histogram_method: str = "HISTOGRAM"  # NONE | HISTOGRAM | CLAHE
+    use_mask: bool = False
+    use_aruco: bool = False
+    num_aruco: int = 1024
+    downsize_aruco: bool = True
+
+
+class InitConfig(NamedTuple):
+    """ov_init options (InertialInitializerOptions parity)."""
+
+    window_time: float = 2.0
+    imu_thresh: float = 1.5
+    max_disparity: float = 10.0
+    max_features: int = 50
+    dyn_use: bool = False
+    dyn_mle_opt_calib: bool = False
+    dyn_mle_max_iter: int = 50
+    dyn_num_pose: int = 6
+    dyn_min_deg: float = 10.0
+    dyn_inflation_ori: float = 10.0
+    dyn_inflation_vel: float = 100.0
+    dyn_inflation_bg: float = 10.0
+    dyn_inflation_ba: float = 100.0
+    dyn_min_rec_cond: float = 1e-12
+    dyn_bias_g: tuple = (0.0, 0.0, 0.0)
+    dyn_bias_a: tuple = (0.0, 0.0, 0.0)
+
+
+class OutputConfig(NamedTuple):
+    """Timing / state recording options."""
+
+    record_timing_information: bool = False
+    record_timing_filepath: str = "/tmp/traj_timing.txt"
+    save_total_state: bool = False
+    filepath_est: str = "/tmp/ov_estimate.txt"
+    filepath_std: str = "/tmp/ov_estimate_std.txt"
+    filepath_gt: str = "/tmp/ov_groundtruth.txt"
+
+
 class VioConfig(NamedTuple):
     filter: FilterConfig
     cams: list  # list[CameraCalib]
@@ -57,24 +117,44 @@ class VioConfig(NamedTuple):
     init_window_time: float
     init_imu_thresh: float
     try_zupt: bool
+    tracker: TrackerConfig = TrackerConfig()
+    init: InitConfig = InitConfig()
+    output: OutputConfig = OutputConfig()
+    max_slam_in_update: int = 25
 
 
-def load(config_path: str) -> VioConfig:
+# Keys VioManagerOptions consumes that this build deliberately does not map
+# into behavior, with the reason (kept out of the unknown-key warning).
+_OUT_OF_SCOPE = {
+    "verbosity": "python logging controls verbosity",
+    "num_opencv_threads": "host threading is the native hub's concern",
+    "init_dyn_mle_max_time": "jit MLE runs fixed iterations, not wall-time",
+    "init_dyn_mle_max_threads": "device-parallel MLE, no host threads",
+}
+
+
+def load(config_path: str, warn_unknown: bool = True) -> VioConfig:
     """Load an estimator_config.yaml (reference layout) into typed configs."""
     base = os.path.dirname(os.path.abspath(config_path))
-    est = _load_yaml(config_path)
+    est_raw = _load_yaml(config_path)
+    consumed = set()
 
-    def req(d, key):
-        if key not in d:
+    def get(key, default=None):
+        consumed.add(key)
+        return est_raw.get(key, default)
+
+    def req(key):
+        consumed.add(key)
+        if key not in est_raw:
             raise KeyError(f"missing required config key: {key}")
-        return d[key]
+        return est_raw[key]
 
-    imu_file = os.path.join(base, req(est, "relative_config_imu"))
-    cam_file = os.path.join(base, req(est, "relative_config_imucam"))
+    imu_file = os.path.join(base, req("relative_config_imu"))
+    cam_file = os.path.join(base, req("relative_config_imucam"))
     imu_y = _load_yaml(imu_file)["imu0"]
     cam_y = _load_yaml(cam_file)
 
-    num_cams = int(req(est, "max_cameras"))
+    num_cams = int(req("max_cameras"))
     cams = []
     for i in range(num_cams):
         c = cam_y[f"cam{i}"]
@@ -107,35 +187,121 @@ def load(config_path: str) -> VioConfig:
         rate=float(imu_y.get("update_rate", 200.0)),
     )
 
+    integration = str(get("integration", "rk4"))
+    if integration not in ("discrete", "rk4", "analytical"):
+        raise ValueError(f"unknown integration method: {integration}")
+
+    sigma_msckf = float(get("up_msckf_sigma_px", 1.0))
+    chi2_msckf = float(get("up_msckf_chi2_multipler", 1.0))
     cam_model = cams[0].model if cams else "radtan"
     fil = FilterConfig(
-        max_clones=int(req(est, "max_clones")),
-        max_slam=int(req(est, "max_slam")),
+        max_clones=int(req("max_clones")),
+        max_slam=int(req("max_slam")),
         num_cams=num_cams,
-        max_msckf_in_update=int(est.get("max_msckf_in_update", 40)),
-        calib_cam_timeoffset=bool(est.get("calib_cam_timeoffset", False)),
-        calib_cam_extrinsics=bool(est.get("calib_cam_extrinsics", False)),
-        calib_cam_intrinsics=bool(est.get("calib_cam_intrinsics", False)),
-        calib_imu_intrinsics=bool(est.get("calib_imu_intrinsics", False)),
-        calib_imu_g_sensitivity=bool(est.get("calib_imu_g_sensitivity", False)),
-        use_fej=bool(est.get("use_fej", True)),
-        use_zupt=bool(est.get("try_zupt", False)),
+        max_msckf_in_update=int(get("max_msckf_in_update", 40)),
+        calib_cam_timeoffset=bool(get("calib_cam_timeoffset", False)),
+        calib_cam_extrinsics=bool(get("calib_cam_extrinsics", False)),
+        calib_cam_intrinsics=bool(get("calib_cam_intrinsics", False)),
+        calib_imu_intrinsics=bool(get("calib_imu_intrinsics", False)),
+        calib_imu_g_sensitivity=bool(get("calib_imu_g_sensitivity", False)),
+        integration=integration,
+        use_fej=bool(get("use_fej", True)),
+        use_zupt=bool(get("try_zupt", False)),
+        feat_rep_msckf=str(get("feat_rep_msckf", "GLOBAL_3D")),
+        feat_rep_slam=str(get("feat_rep_slam", "GLOBAL_3D")),
+        feat_rep_aruco=str(get("feat_rep_aruco", "GLOBAL_3D")),
+        dt_slam_delay=float(get("dt_slam_delay", 0.0)),
         cam_model=cam_model,
         sigma_w=imu.sigma_w, sigma_wb=imu.sigma_wb,
         sigma_a=imu.sigma_a, sigma_ab=imu.sigma_ab,
-        sigma_pix=float(est.get("up_msckf_sigma_px", 1.0)),
-        gravity_mag=float(est.get("gravity_mag", 9.81)),
-        chi2_multiplier=float(est.get("up_msckf_chi2_multipler", 1.0)),
+        sigma_pix=sigma_msckf,
+        gravity_mag=float(get("gravity_mag", 9.81)),
+        chi2_multiplier=chi2_msckf,
+        # per-updater noise/gates default to the MSCKF values when absent
+        sigma_pix_slam=float(get("up_slam_sigma_px", sigma_msckf)),
+        chi2_multiplier_slam=float(get("up_slam_chi2_multipler", chi2_msckf)),
+        sigma_pix_aruco=float(get("up_aruco_sigma_px", sigma_msckf)),
+        chi2_multiplier_aruco=float(
+            get("up_aruco_chi2_multipler", chi2_msckf)),
+        zupt_noise_multiplier=float(get("zupt_noise_multiplier", 10.0)),
+        zupt_max_velocity=float(get("zupt_max_velocity", 0.25)),
+        zupt_max_disparity=float(get("zupt_max_disparity", 0.5)),
+        zupt_chi2_multiplier=float(get("zupt_chi2_multipler", 1.0)),
+        zupt_only_at_beginning=bool(get("zupt_only_at_beginning", False)),
     )
 
-    return VioConfig(
+    tracker = TrackerConfig(
+        use_klt=bool(get("use_klt", True)),
+        num_pts=int(get("num_pts", 200)),
+        fast_threshold=int(get("fast_threshold", 20)),
+        grid_x=int(get("grid_x", 5)),
+        grid_y=int(get("grid_y", 5)),
+        min_px_dist=int(get("min_px_dist", 10)),
+        knn_ratio=float(get("knn_ratio", 0.70)),
+        track_frequency=float(get("track_frequency", 21.0)),
+        downsample_cameras=bool(get("downsample_cameras", False)),
+        histogram_method=str(get("histogram_method", "HISTOGRAM")),
+        use_mask=bool(get("use_mask", False)),
+        use_aruco=bool(get("use_aruco", False)),
+        num_aruco=int(get("num_aruco", 1024)),
+        downsize_aruco=bool(get("downsize_aruco", True)),
+    )
+
+    def _vec3(key, default):
+        v = get(key, list(default))
+        return tuple(float(x) for x in v)
+
+    init = InitConfig(
+        window_time=float(get("init_window_time", 2.0)),
+        imu_thresh=float(get("init_imu_thresh", 1.5)),
+        max_disparity=float(get("init_max_disparity", 10.0)),
+        max_features=int(get("init_max_features", 50)),
+        dyn_use=bool(get("init_dyn_use", False)),
+        dyn_mle_opt_calib=bool(get("init_dyn_mle_opt_calib", False)),
+        dyn_mle_max_iter=int(get("init_dyn_mle_max_iter", 50)),
+        dyn_num_pose=int(get("init_dyn_num_pose", 6)),
+        dyn_min_deg=float(get("init_dyn_min_deg", 10.0)),
+        dyn_inflation_ori=float(get("init_dyn_inflation_ori", 10.0)),
+        dyn_inflation_vel=float(get("init_dyn_inflation_vel", 100.0)),
+        dyn_inflation_bg=float(get("init_dyn_inflation_bg", 10.0)),
+        dyn_inflation_ba=float(get("init_dyn_inflation_ba", 100.0)),
+        dyn_min_rec_cond=float(get("init_dyn_min_rec_cond", 1e-12)),
+        dyn_bias_g=_vec3("init_dyn_bias_g", (0.0, 0.0, 0.0)),
+        dyn_bias_a=_vec3("init_dyn_bias_a", (0.0, 0.0, 0.0)),
+    )
+
+    output = OutputConfig(
+        record_timing_information=bool(
+            get("record_timing_information", False)),
+        record_timing_filepath=str(
+            get("record_timing_filepath", "/tmp/traj_timing.txt")),
+        save_total_state=bool(get("save_total_state", False)),
+        filepath_est=str(get("filepath_est", "/tmp/ov_estimate.txt")),
+        filepath_std=str(get("filepath_std", "/tmp/ov_estimate_std.txt")),
+        filepath_gt=str(get("filepath_gt", "/tmp/ov_groundtruth.txt")),
+    )
+
+    cfg = VioConfig(
         filter=fil,
         cams=cams,
         imu=imu,
-        calib_dt=float(est.get("calib_camimu_dt", 0.0)),
-        use_stereo=bool(est.get("use_stereo", num_cams > 1)),
-        downsample_cameras=bool(est.get("downsample_cameras", False)),
-        init_window_time=float(est.get("init_window_time", 1.0)),
-        init_imu_thresh=float(est.get("init_imu_thresh", 1.0)),
-        try_zupt=bool(est.get("try_zupt", False)),
+        calib_dt=float(get("calib_camimu_dt", 0.0)),
+        use_stereo=bool(get("use_stereo", num_cams > 1)),
+        downsample_cameras=tracker.downsample_cameras,
+        init_window_time=init.window_time,
+        init_imu_thresh=init.imu_thresh,
+        try_zupt=fil.use_zupt,
+        tracker=tracker,
+        init=init,
+        output=output,
+        max_slam_in_update=int(get("max_slam_in_update", 25)),
     )
+
+    if warn_unknown:
+        leftover = set(est_raw.keys()) - consumed - set(_OUT_OF_SCOPE)
+        for key in sorted(leftover):
+            logger.warning(
+                "config key %r in %s is not recognized and was ignored",
+                key, config_path,
+            )
+    return cfg

@@ -93,7 +93,7 @@ class TestClosedLoop:
             nees.append(e @ np.linalg.solve(P, e))
         nees = np.asarray(nees)
         m = nees.mean()
-        assert m < 30.0, f"pose NEES wildly inconsistent: {m:.1f}"
+        assert m < 10.0, f"pose NEES inconsistent: {m:.1f} (dof 6)"
         assert m > 0.5, f"pose NEES suspiciously low: {m:.2f}"
 
 

@@ -65,6 +65,28 @@ class TestSlam:
         d = np.diagonal(np.array(state.cov))
         assert d.min() > -1e-7, f"negative diagonal {d.min()}"
 
+    def test_nees_consistency_with_slam(self, slam_run):
+        """SLAM-on pose NEES near dof 6 — the FEJ-consistency gate on the
+        flagship configuration (multi-frame stacked landmark updates +
+        reference FEJ linearization points must keep the filter honest)."""
+        _, run, state, outs = slam_run
+        qs, ps, _, covs, _ = outs
+        gt_q = np.array(run.gt_q)[1:]
+        gt_p = np.array(run.gt_p)[1:]
+        perr = np.array(ps) - gt_p
+        covs = np.array(covs)
+        nees = []
+        for k in range(40, len(gt_q)):
+            R_est = np.array(lie.quat_2_rot(jnp.asarray(np.array(qs)[k])))
+            R_gt = np.array(lie.quat_2_rot(jnp.asarray(gt_q[k])))
+            dth = -np.array(lie.log_so3(jnp.asarray(R_gt @ R_est.T)))
+            e = np.concatenate([dth, perr[k]])
+            P = covs[k] + 1e-12 * np.eye(6)
+            nees.append(e @ np.linalg.solve(P, e))
+        m = float(np.mean(nees))
+        assert m < 10.0, f"SLAM-on pose NEES inconsistent: {m:.1f} (dof 6)"
+        assert m > 0.5, f"pose NEES suspiciously low: {m:.2f}"
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
