@@ -106,6 +106,58 @@ def _preintegrate(imu_t, imu_w, imu_a, bg, ba):
     return R, alpha, beta
 
 
+def _preintegrate_cov(imu_t, imu_w, imu_a, bg, ba, sigma_w, sigma_a):
+    """9×9 covariance of the preintegrated measurement error [δθ, δβ, δα].
+
+    The CpiBase P_meas role (ov_core/src/cpi/CpiBase.h:49-150): linearized
+    error propagation of the segment preintegration under gyro/accel noise,
+    matching `_preintegrate`'s recursion exactly.  With left error
+    R_true = exp(-δθ) R̂ (δθ in the running segment frame):
+        δθ'  = A δθ + A Jr(-ŵ dt) dt n_g,            A = exp(-ŵ dt)
+        δβ'  = δβ - dt R̂ᵀ⌊â⌋ δθ + dt R̂ᵀ n_a
+        δα'  = δα + dt δβ - ½dt² R̂ᵀ⌊â⌋ δθ + ½dt² R̂ᵀ n_a
+    Bias sensitivity is NOT folded in here — the MLE optimizes the biases
+    directly and autodiff supplies those Jacobians (the CPI bias-correction
+    terms); this covariance whitens the residuals at the linearization bias.
+    """
+    K = imu_t.shape[0]
+    dtype = imu_a.dtype
+    I3 = jnp.eye(3, dtype=dtype)
+    Z = jnp.zeros((3, 3), dtype)
+
+    def body(carry, k):
+        R, P = carry
+        dt = jnp.maximum(imu_t[k + 1] - imu_t[k], 0.0)
+        w_hat = 0.5 * (imu_w[k] + imu_w[k + 1]) - bg
+        a_hat = imu_a[k] - ba
+        A = lie.exp_so3(-w_hat * dt)
+        Rt = R.T
+        Ra = Rt @ lie.skew(a_hat)
+        F = jnp.block([
+            [A, Z, Z],
+            [-dt * Ra, I3, Z],
+            [-0.5 * dt * dt * Ra, dt * I3, I3],
+        ])
+        Gg = (A @ lie.Jr_so3(-w_hat * dt)) * dt
+        G = jnp.block([
+            [Gg, Z],
+            [Z, dt * Rt],
+            [Z, 0.5 * dt * dt * Rt],
+        ])
+        inv_dt = jnp.where(dt > 0, 1.0 / jnp.maximum(dt, 1e-12), 0.0)
+        qc = jnp.concatenate([
+            jnp.full((3,), sigma_w**2, dtype),
+            jnp.full((3,), sigma_a**2, dtype),
+        ]) * inv_dt
+        P = F @ P @ F.T + (G * qc[None, :]) @ G.T
+        R = A @ R
+        return (R, 0.5 * (P + P.T)), None
+
+    (_, P), _ = jax.lax.scan(body, (I3, jnp.zeros((9, 9), dtype)),
+                             jnp.arange(K - 1))
+    return P
+
+
 def _preintegrate_all(inp: DynInitInput, bg, ba):
     """Segment preintegrations + accumulated start-frame quantities.
 
@@ -206,7 +258,7 @@ def _linear_solve(inp: DynInitInput, opts: DynamicInitOptions, R_0k, alpha_0k):
 
 
 def _residuals(theta, inp: DynInitInput, opts: DynamicInitOptions,
-               R0_lin, p0_lin, P, F):
+               R0_lin, p0_lin, P, F, L9=None):
     """All residuals, whitened.  theta packs
     [δθ (3P), δp (3P), v (3P), bg (3), ba (3), g_I0 (3), p_f (3F)] with
     rotations as local perturbations around the linearization R0_lin
@@ -248,14 +300,21 @@ def _residuals(theta, inp: DynInitInput, opts: DynamicInitOptions,
         rB = R_k[k] @ (v[k + 1] - v[k] + g_I0 * dt) - dbeta[k]
         rA = R_k[k] @ (p_k[k + 1] - p_k[k] - v[k] * dt + 0.5 * g_I0 * dt * dt) \
             - dalpha[k]
-        # honest preintegration noise stds over a gap dt:
+        r9 = jnp.concatenate([rR, rB, rA])
+        if L9 is not None:
+            # whiten with the CPI-propagated 9×9 measurement covariance
+            # (Cholesky factors precomputed at the linearization bias):
+            # r_white = L⁻¹ r so r_whiteᵀ r_white = rᵀ P⁻¹ r
+            return jax.scipy.linalg.solve_triangular(L9[k], r9, lower=True)
+        # fallback: per-block scalar stds over a gap dt:
         #   δΔR ~ σ_w √dt, δΔβ ~ σ_a √dt, δΔα ~ σ_a dt^{3/2}/√3
         sdt = jnp.sqrt(jnp.maximum(dt, 1e-6))
-        return jnp.concatenate([
-            rR / (opts.sigma_w * sdt),
-            rB / (opts.sigma_a * sdt),
-            rA / (opts.sigma_a * sdt * dt / jnp.sqrt(3.0)),
+        scale = jnp.concatenate([
+            jnp.full((3,), opts.sigma_w * sdt),
+            jnp.full((3,), opts.sigma_a * sdt),
+            jnp.full((3,), opts.sigma_a * sdt * dt / jnp.sqrt(3.0)),
         ])
+        return r9 / scale
 
     r_imu = jax.vmap(imu_res)(jnp.arange(P - 1)).reshape(-1)
 
@@ -327,12 +386,21 @@ def initialize(inp: DynInitInput, opts: DynamicInitOptions) -> DynInitResult:
         + alpha_0k
     v_k0 = v0[None, :] - g_I0[None, :] * dt_k[:, None] + beta_0k
 
-    # 4. MLE refinement
+    # 4. MLE refinement — residuals whitened by the CPI-propagated 9×9
+    # preintegration measurement covariance per segment (computed once at
+    # the zero-bias linearization, like the reference's fixed CPI factor
+    # covariances; a jitter floor keeps the Cholesky well-posed in f32)
+    P9 = jax.vmap(
+        lambda t, w, a: _preintegrate_cov(t, w, a, zero3, zero3,
+                                          opts.sigma_w, opts.sigma_a)
+    )(inp.imu_t, inp.imu_w, inp.imu_a)
+    P9 = P9 + 1e-12 * jnp.eye(9, dtype=dtype)
+    L9 = jax.lax.stop_gradient(jnp.linalg.cholesky(P9))
     theta0 = jnp.concatenate([
         jnp.zeros(3 * P, dtype), jnp.zeros(3 * P, dtype), v_k0.reshape(-1),
         zero3, zero3, g_I0, p_f0.reshape(-1),
     ])
-    res_fn = lambda th: _residuals(th, inp, opts, R_0k, p_k0, P, F)
+    res_fn = lambda th: _residuals(th, inp, opts, R_0k, p_k0, P, F, L9=L9)
     theta, cost0, cost = _levenberg_marquardt(res_fn, theta0, opts.mle_iters)
 
     i = 0
@@ -367,6 +435,14 @@ def initialize(inp: DynInitInput, opts: DynamicInitOptions) -> DynInitResult:
         jnp.arange(kba, kba + 3),
     ])
     cov15 = cov_full[sel][:, sel]
+    # the MLE perturbations δp/δv live in the I0 body frame; the filter's
+    # error state is world-frame (gravity-aligned), so rotate those blocks by
+    # R_GtoI0ᵀ (δx_G = R_GtoI0ᵀ δx_I0).  δθ is a left perturbation on the Ik
+    # frame and δbg/δba are body quantities — both frame-invariant here.
+    eye3 = jnp.eye(3, dtype=dtype)
+    Rt = R_GtoI0.T
+    T_frame = jax.scipy.linalg.block_diag(eye3, Rt, Rt, eye3, eye3)
+    cov15 = T_frame @ cov15 @ T_frame.T
     infl = jnp.concatenate([
         jnp.full(3, opts.inflation_ori, dtype), jnp.ones(3, dtype),
         jnp.full(3, opts.inflation_vel, dtype),

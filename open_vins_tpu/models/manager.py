@@ -183,11 +183,17 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         lambda a, b: jnp.where(any_ok, a, b), new_state, state
     )
 
-    # cleanup: lost rows die (except rows owned by SLAM landmarks — those
-    # may carry unconsumed measurements for one final slam.update, and evict
-    # frees them afterwards); used full-window rows die too
+    # cleanup: processed lost rows die whether or not their update passed
+    # (UpdaterMSCKF erases processed features either way); lost candidates
+    # beyond the top-F cap stay alive so a burst of track loss is amortized
+    # over the next frames instead of silently discarded — except rows that
+    # can never triangulate (<3 remaining obs), which are dead weight.
+    # SLAM-owned rows are exempt: they may carry unconsumed measurements for
+    # one final slam.update, and evict frees them afterwards.
     used = jnp.zeros_like(lost).at[rows].set(feat_ok, mode="drop")
-    table = ft.free_rows(table, (lost & ~is_slam) | used)
+    selected = jnp.zeros_like(lost).at[rows].set(sel_valid, mode="drop")
+    dead_lost = lost & ~is_slam & (selected | (n_obs < 3))
+    table = ft.free_rows(table, dead_lost | used)
 
     diag = StepDiag(
         n_msckf=jnp.sum(feat_ok.astype(jnp.int32)),
