@@ -316,3 +316,68 @@ def initialize_landmark(
     res_up = res_rot[3:]
     up_mask = jnp.ones((m - 3,), dtype=bool)
     return new_state, H_up, res_up, up_mask
+
+
+def initialize_landmark_single(
+    state: VioState,
+    cfg: FilterConfig,
+    slot,
+    feat_id,
+    lam0,
+    H_x,
+    h_f,
+    res,
+    sigma_pix_norm,
+    row_mask,
+):
+    """1-dof delayed initialization for ANCHORED_INVERSE_DEPTH_SINGLE.
+
+    Same orthogonal-split construction as `initialize_landmark` but the new
+    variable is the scalar inverse depth ρ (UpdaterSLAM.cpp:190-240 with
+    landmark_size = 1): only covariance row/col `slam_off + 3*slot` is
+    seeded; the two bearing slots stay frozen at zero covariance (they hold
+    the fixed init bearing as data).
+
+    Args:
+      lam0: [3] = [ρ_triangulated, b_x, b_y]  (bearing already final).
+      h_f: [m, 1] Jacobian w.r.t. ρ (bearing columns must already be
+        nullspace-projected out of H_x/h_f/res by the caller).
+    Returns (new_state, H_up [m-1, D], res_up [m-1], up_mask [m-1]).
+    """
+    m = h_f.shape[0]
+    mdtype = state.cov.dtype
+    h_f = jnp.where(row_mask[:, None], h_f, 0.0)
+    H_x = jnp.where(row_mask[:, None], H_x, 0.0)
+    res = jnp.where(row_mask, res, 0.0)
+
+    Q, R_full = jnp.linalg.qr(h_f, mode="complete")  # Q [m,m], R [m,1]
+    Hx_rot = Q.T @ H_x
+    res_rot = Q.T @ res
+    r1 = R_full[0, 0]
+    r1_inv = jnp.where(jnp.abs(r1) > 1e-9, 1.0 / r1, 0.0)
+    Hx1 = Hx_rot[0:1]  # [1, D]
+    res1 = res_rot[0]
+
+    HxP = Hx1 @ state.cov  # [1, D]
+    P_ff = (r1_inv**2) * (HxP @ Hx1.T + sigma_pix_norm**2)  # [1,1]
+    P_fx = -(r1_inv * HxP)  # [1, D]
+
+    off = cfg.slam_off + 3 * slot
+    cov = state.cov
+    cov = jax.lax.dynamic_update_slice(cov, P_fx, (off, off * 0))
+    cov = jax.lax.dynamic_update_slice(cov, P_fx.T, (off * 0, off))
+    cov = jax.lax.dynamic_update_slice(cov, P_ff, (off, off))
+
+    drho = r1_inv * res1
+    lam_new = lam0.at[0].add(drho)
+    new_state = state._replace(
+        cov=cov,
+        slam_p=state.slam_p.at[slot].set(lam_new),
+        slam_p_fej=state.slam_p_fej.at[slot].set(lam0),
+        slam_id=state.slam_id.at[slot].set(feat_id.astype(jnp.int32)),
+        slam_valid=state.slam_valid.at[slot].set(True),
+    )
+    H_up = Hx_rot[1:]
+    res_up = res_rot[1:]
+    up_mask = jnp.ones((m - 1,), dtype=bool)
+    return new_state, H_up, res_up, up_mask

@@ -14,6 +14,13 @@ p_IinC.  λ is the stored 3-vector whose meaning depends on the rep:
   GLOBAL_3D:                   λ = p_FinG
   ANCHORED_3D:                 λ = p_FinA
   ANCHORED_MSCKF_INVERSE_DEPTH λ = (α, β, ρ) with p_FinA = (α/ρ, β/ρ, 1/ρ)
+  ANCHORED_INVERSE_DEPTH_SINGLE λ = (ρ, b_x, b_y): ONE estimated dof — the
+    inverse z-depth ρ at slot 0 — plus the fixed init bearing b = p_FinA/z
+    stored in the two frozen (zero-covariance) slots, so
+    p_FinA = (1/ρ)(b_x, b_y, 1).  The bearing is data, not state: the
+    reference stores it as Landmark::uv_norm_zero (Landmark.cpp:50-58) and
+    its uncertainty is marginalized by nullspace projection at init/update
+    (UpdaterSLAM.cpp:190-206, 340-380).
 """
 
 from __future__ import annotations
@@ -28,10 +35,16 @@ GLOBAL_FULL_INVERSE_DEPTH = "GLOBAL_FULL_INVERSE_DEPTH"
 ANCHORED_3D = "ANCHORED_3D"
 ANCHORED_FULL_INVERSE_DEPTH = "ANCHORED_FULL_INVERSE_DEPTH"
 ANCHORED_MSCKF_INVERSE_DEPTH = "ANCHORED_MSCKF_INVERSE_DEPTH"
+ANCHORED_INVERSE_DEPTH_SINGLE = "ANCHORED_INVERSE_DEPTH_SINGLE"
 
 
 def is_anchored(rep: str) -> bool:
     return rep.startswith("ANCHORED")
+
+
+def is_single(rep: str) -> bool:
+    """True for the 1-dof depth-only representation."""
+    return rep == ANCHORED_INVERSE_DEPTH_SINGLE
 
 
 def needs_lam_jacobian(rep: str) -> bool:
@@ -90,6 +103,9 @@ def lam_to_pFinA(rep: str, lam):
     if rep == ANCHORED_MSCKF_INVERSE_DEPTH:
         rho = jnp.where(jnp.abs(lam[2]) > 1e-8, lam[2], 1e-8)
         return jnp.asarray([lam[0] / rho, lam[1] / rho, 1.0 / rho])
+    if rep == ANCHORED_INVERSE_DEPTH_SINGLE:
+        rho = jnp.where(jnp.abs(lam[0]) > 1e-8, lam[0], 1e-8)
+        return (1.0 / rho) * jnp.asarray([lam[1], lam[2], 1.0])
     if rep in (ANCHORED_FULL_INVERSE_DEPTH, GLOBAL_FULL_INVERSE_DEPTH):
         return _spherical_to_xyz(lam)
     raise ValueError(rep)
@@ -101,6 +117,9 @@ def pFinA_to_lam(rep: str, p_FinA):
     if rep == ANCHORED_MSCKF_INVERSE_DEPTH:
         z = jnp.where(jnp.abs(p_FinA[2]) > 1e-8, p_FinA[2], 1e-8)
         return jnp.asarray([p_FinA[0] / z, p_FinA[1] / z, 1.0 / z])
+    if rep == ANCHORED_INVERSE_DEPTH_SINGLE:
+        z = jnp.where(jnp.abs(p_FinA[2]) > 1e-8, p_FinA[2], 1e-8)
+        return jnp.asarray([1.0 / z, p_FinA[0] / z, p_FinA[1] / z])
     if rep in (ANCHORED_FULL_INVERSE_DEPTH, GLOBAL_FULL_INVERSE_DEPTH):
         return _xyz_to_spherical(p_FinA)
     raise ValueError(rep)
@@ -137,6 +156,15 @@ def d_pFinG_d_lam(rep: str, lam, q_clone, q_ext):
         return R_GtoA.T
     if rep == ANCHORED_FULL_INVERSE_DEPTH:
         return R_GtoA.T @ _spherical_jacobian(lam)
+    if rep == ANCHORED_INVERSE_DEPTH_SINGLE:
+        # only the depth slot is state: ∂p_FinA/∂ρ = −(1/ρ²) b with the
+        # fixed bearing b = (b_x, b_y, 1) (UpdaterHelper.cpp:175-186);
+        # bearing slots are frozen data → zero columns
+        rho = jnp.where(jnp.abs(lam[0]) > 1e-8, lam[0], 1e-8)
+        b = jnp.asarray([lam[1], lam[2], 1.0], dtype=lam.dtype)
+        col = R_GtoA.T @ (-(1.0 / rho**2) * b)
+        return jnp.concatenate(
+            [col[:, None], jnp.zeros((3, 2), dtype=lam.dtype)], axis=1)
     # MSCKF inverse depth: ∂p_FinA/∂(α,β,ρ)
     rho = jnp.where(jnp.abs(lam[2]) > 1e-8, lam[2], 1e-8)
     d = jnp.asarray(
@@ -186,6 +214,21 @@ def anchor_change_jacobians(rep: str, lam_old,
     dth_o, dp_o = d_pFinG_d_anchor(rep, lam_old, q_old, q_ext, p_ext)
     dpG_dlam_n = d_pFinG_d_lam(rep, lam_new, q_new, q_ext)
     dth_n, dp_n = d_pFinG_d_anchor(rep, lam_new, q_new, q_ext, p_ext)
+
+    if rep == ANCHORED_INVERSE_DEPTH_SINGLE:
+        # 1-dof: left pseudo-inverse of the [3,1] new-rep depth Jacobian
+        # (H_f_new_inv = H_f_newᵀ/‖H_f_new‖², UpdaterSLAM.cpp:617-621);
+        # bearing slots are frozen data, so rows/cols 1-2 stay zero.
+        h_n = dpG_dlam_n[:, 0]
+        inv_n = h_n / jnp.maximum(jnp.dot(h_n, h_n), 1e-12)  # [3]
+        dtype = lam_old.dtype
+        J_lam = jnp.zeros((3, 3), dtype).at[0, 0].set(
+            jnp.dot(inv_n, dpG_dlam_o[:, 0]))
+        row_xo = inv_n @ jnp.concatenate([dth_o, dp_o], axis=1)  # [6]
+        row_xn = -(inv_n @ jnp.concatenate([dth_n, dp_n], axis=1))
+        J_xold = jnp.zeros((3, 6), dtype).at[0].set(row_xo)
+        J_xnew = jnp.zeros((3, 6), dtype).at[0].set(row_xn)
+        return lam_new, J_lam, J_xold, J_xnew
 
     inv_n = jnp.linalg.inv(
         dpG_dlam_n + 1e-12 * jnp.eye(3, dtype=lam_old.dtype)

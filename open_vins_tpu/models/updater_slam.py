@@ -14,8 +14,12 @@ Capability parity with ov_msckf::UpdaterSLAM (UpdaterSLAM.cpp:58-647):
 
 Representations (LandmarkRepresentation.h:38-45): GLOBAL_3D,
 GLOBAL_FULL_INVERSE_DEPTH, ANCHORED_3D, ANCHORED_FULL_INVERSE_DEPTH,
-ANCHORED_MSCKF_INVERSE_DEPTH — anchored reps carry anchor (clone, cam)
-slots and are re-anchored on marginalization (change_anchors).
+ANCHORED_MSCKF_INVERSE_DEPTH, ANCHORED_INVERSE_DEPTH_SINGLE — anchored reps
+carry anchor (clone, cam) slots and are re-anchored on marginalization
+(change_anchors).  The 1-dof single-depth rep stores only ρ in the state
+(bearing marginalized by nullspace projection at init and update,
+UpdaterSLAM.cpp:163-210, 340-380); its two unused covariance slots stay
+frozen at zero and hold the fixed init bearing as data.
 """
 
 from __future__ import annotations
@@ -67,7 +71,7 @@ def landmark_global(state: VioState, cfg: FilterConfig, slot, fej: bool):
 
 
 def _chain_anchored(state: VioState, cfg: FilterConfig, slot, H_x, H_fg,
-                    p_G_cur):
+                    p_G_cur, rep=None):
     """Convert global-landmark rows (H_fg = ∂z/∂p_FinG) to λ-rows and fold
     the anchor-pose columns into H_x.
 
@@ -76,9 +80,13 @@ def _chain_anchored(state: VioState, cfg: FilterConfig, slot, H_x, H_fg,
     evaluated at the *current* global point transformed into the *FEJ*
     anchor frame; for global inverse depth at the stored FEJ λ.
 
+    `rep` overrides cfg.feat_rep_slam — the 1-dof single-depth rep
+    linearizes via its MSCKF-inverse-depth equivalent (UpdaterSLAM.cpp:340).
+
     Returns (H_x', H_lam).
     """
-    rep = cfg.feat_rep_slam
+    if rep is None:
+        rep = cfg.feat_rep_slam
     if not lrep.needs_lam_jacobian(rep):
         return H_x, H_fg
     fej = cfg.use_fej
@@ -175,24 +183,31 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         # triangulated point expressed in the FEJ anchor frame
         # (UpdaterHelper.cpp:87-96 semantics, same as _chain_anchored).
         rep = cfg.feat_rep_slam
-        if lrep.needs_lam_jacobian(rep):
+        single = lrep.is_single(rep)
+        # the 1-dof single-depth rep linearizes via its MSCKF-inverse-depth
+        # equivalent (UpdaterSLAM.cpp:163-206), then marginalizes the
+        # bearing by nullspace projection below
+        rep_lin = lrep.ANCHORED_MSCKF_INVERSE_DEPTH if single else rep
+        if lrep.needs_lam_jacobian(rep_lin):
             a_slot = st.head
             q_c = take1(st.clones_q, a_slot)
             p_c = take1(st.clones_p, a_slot)
             q_e = st.calib_ext_q[0]
             p_e = st.calib_ext_p[0]
-            lam0 = lrep.from_global(rep, p_f[i], q_c, p_c, q_e, p_e)
-            if cfg.use_fej and lrep.is_anchored(rep):
+            lam0 = lrep.from_global(rep_lin, p_f[i], q_c, p_c, q_e, p_e)
+            if cfg.use_fej and lrep.is_anchored(rep_lin):
                 q_cl = take1(st.clones_q_fej, a_slot)
                 p_cl = take1(st.clones_p_fej, a_slot)
-                lam_lin = lrep.from_global(rep, p_f[i], q_cl, p_cl, q_e, p_e)
+                lam_lin = lrep.from_global(rep_lin, p_f[i], q_cl, p_cl,
+                                           q_e, p_e)
             else:
                 q_cl, p_cl = q_c, p_c
                 lam_lin = lam0
-            dpG_dlam = lrep.d_pFinG_d_lam(rep, lam_lin, q_cl, q_e)
+            dpG_dlam = lrep.d_pFinG_d_lam(rep_lin, lam_lin, q_cl, q_e)
             H_lam = H_fg @ dpG_dlam
-            if lrep.is_anchored(rep):
-                dth, dp = lrep.d_pFinG_d_anchor(rep, lam_lin, q_cl, q_e, p_e)
+            if lrep.is_anchored(rep_lin):
+                dth, dp = lrep.d_pFinG_d_anchor(rep_lin, lam_lin, q_cl, q_e,
+                                                p_e)
                 nrows = H_fg.shape[0]
                 off = cfg.clones_off + 6 * a_slot
                 block = jax.lax.dynamic_slice(H_x, (off * 0, off), (nrows, 6))
@@ -202,10 +217,33 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         else:
             lam0 = p_f[i]
             H_lam = H_fg
-        st2, H_up, res_up, up_mask = ekf.initialize_landmark(
-            st, cfg, slot, feat_ids[i], lam0, H_x, H_lam, res, sigma,
-            row_mask,
-        )
+        if single:
+            # split (α,β,ρ): ρ becomes the 1-dof state, the bearing columns
+            # are nullspace-projected out of [H_x | h_ρ | res] so the init
+            # does NOT treat the stored bearing as true
+            # (UpdaterSLAM.cpp:190-206)
+            h_rho = H_lam[:, 2:3]
+            Qb, _ = jnp.linalg.qr(
+                jnp.where(row_mask[:, None], H_lam[:, :2], 0.0),
+                mode="complete")
+            H_x = (Qb.T @ jnp.where(row_mask[:, None], H_x, 0.0)
+                   ).at[:2].set(0.0)
+            h_rho = (Qb.T @ jnp.where(row_mask[:, None], h_rho, 0.0)
+                     ).at[:2].set(0.0)
+            res_s = (Qb.T @ jnp.where(row_mask, res, 0.0)).at[:2].set(0.0)
+            rmask = jnp.arange(res.shape[0]) >= 2
+            # λ = [ρ, b_x, b_y] — bearing from the current anchor frame
+            lam0_s = jnp.stack([lam0[2], lam0[0], lam0[1]])
+            ok = ok & (jnp.linalg.norm(h_rho) > 1e-6)
+            st2, H_up, res_up, up_mask = ekf.initialize_landmark_single(
+                st, cfg, slot, feat_ids[i], lam0_s, H_x, h_rho, res_s,
+                sigma, rmask,
+            )
+        else:
+            st2, H_up, res_up, up_mask = ekf.initialize_landmark(
+                st, cfg, slot, feat_ids[i], lam0, H_x, H_lam, res, sigma,
+                row_mask,
+            )
         st2 = st2._replace(
             slam_anchor_slot=st2.slam_anchor_slot.at[slot].set(
                 st.head.astype(jnp.int32)),
@@ -276,6 +314,8 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     cam_idx = jnp.tile(
         jnp.arange(N, dtype=jnp.int32)[None, :], (C, 1)).reshape(O)
 
+    single = lrep.is_single(cfg.feat_rep_slam)
+
     def per_landmark(slot):
         r = row[slot]
         obs = uh.GatheredObs(
@@ -292,22 +332,43 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
         H_x, H_fg, res, row_mask = uh.feature_jacobian(
             state, cfg, obs, p_G_cur, p_G_fej
         )
-        H_x, H_lam = _chain_anchored(state, cfg, slot, H_x, H_fg, p_G_cur)
-        # place the landmark rows at its own columns
+        n_valid = jnp.sum(row_mask.astype(jnp.int32))
         off = cfg.slam_off + 3 * slot
-        H_full = jax.lax.dynamic_update_slice(H_x, H_lam, (off * 0, off))
+        if single:
+            # 1-dof depth-only landmark (UpdaterSLAM.cpp:340-380): linearize
+            # as the MSCKF-inverse-depth equivalent, move the ρ column into
+            # the state, and nullspace-project the (marginalized-at-init)
+            # bearing columns out of the whole system — crucial so the
+            # bearing is not treated as perfectly known.
+            H_x, H_lam3 = _chain_anchored(
+                state, cfg, slot, H_x, H_fg, p_G_cur,
+                rep=lrep.ANCHORED_MSCKF_INVERSE_DEPTH)
+            H_full = jax.lax.dynamic_update_slice(
+                H_x, H_lam3[:, 2:3], (off * 0, off))
+            Qb, _ = jnp.linalg.qr(H_lam3[:, :2], mode="complete")
+            H_full = (Qb.T @ H_full).at[:2].set(0.0)
+            res = (Qb.T @ res).at[:2].set(0.0)
+            out_mask = jnp.arange(res.shape[0]) >= 2
+            dof = jnp.maximum(n_valid - 2, 1)
+            min_rows = 4  # required_meas = 2 obs (UpdaterSLAM.cpp:286)
+        else:
+            H_x, H_lam = _chain_anchored(state, cfg, slot, H_x, H_fg, p_G_cur)
+            # place the landmark rows at its own columns
+            H_full = jax.lax.dynamic_update_slice(H_x, H_lam, (off * 0, off))
+            out_mask = row_mask
+            dof = jnp.maximum(n_valid, 1)
+            min_rows = 1
         gamma = uh.chi2_statistic(state.cov, H_full, res, sigma)
-        dof = jnp.maximum(jnp.sum(row_mask.astype(jnp.int32)), 1)
         ok = (
             has_row[slot]
-            & (jnp.sum(row_mask) > 0)
+            & (n_valid >= min_rows)
             & jnp.isfinite(gamma)
             & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier_slam)
         )
-        return H_full, res, row_mask, ok
+        return H_full, res, out_mask, row_mask, ok
 
-    H, res, row_mask, ok = jax.vmap(per_landmark)(jnp.arange(L))
-    keep = (ok[:, None] & row_mask)  # [L, 2O]
+    H, res, out_mask, row_mask, ok = jax.vmap(per_landmark)(jnp.arange(L))
+    keep = (ok[:, None] & out_mask)  # [L, 2O]
     H_big = jnp.where(keep[..., None], H, 0.0).reshape(L * 2 * O, D)
     res_big = jnp.where(keep, res, 0.0).reshape(L * 2 * O)
 
@@ -367,7 +428,10 @@ def change_anchors(state: VioState, cfg: FilterConfig, dying_slot):
         p_of = take1(st.clones_p_fej, dying_slot)
         q_nf = take1(st.clones_q_fej, new_slot)
         p_nf = take1(st.clones_p_fej, new_slot)
-        lam_f = take1(st.slam_p_fej, slot)
+        # single-depth landmarks have no separate FEJ value — the reference's
+        # get_xyz(true) reads the current value/bearing (Landmark.cpp:53-57)
+        lam_f = take1(
+            st.slam_p if lrep.is_single(rep) else st.slam_p_fej, slot)
         lam_new_f, J_lam, J_xo, J_xn = lrep.anchor_change_jacobians(
             rep, lam_f, q_of, p_of, q_nf, p_nf, q_e, p_e
         )
