@@ -44,7 +44,8 @@ class FilterConfig(NamedTuple):
     calib_imu_intrinsics: bool = False  # Dw/Da (+ gyro frame, KALIBR model)
     calib_imu_g_sensitivity: bool = False  # Tg
     # estimator behavior
-    integration: str = "rk4"  # "rk4" | "discrete" (StateOptions parity)
+    integration: str = "rk4"  # "rk4" | "discrete" | "analytical" (ACI²
+    # Ξ-series closed form, Propagator.cpp:588-829) — StateOptions parity
     use_fej: bool = True
     use_zupt: bool = False  # zero-velocity updates (UpdaterZeroVelocity)
     feat_rep_msckf: str = "GLOBAL_3D"  # parsed for parity; the MSCKF path

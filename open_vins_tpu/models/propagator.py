@@ -161,6 +161,169 @@ def _step_mean(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity,
     return _step_mean_midpoint(q, p, v, bg, ba, w1, a1, w2, a2, dt, gravity)
 
 
+# ---------------------------------------------------------------------------
+# ACI² analytic integration (Propagator::compute_Xi_sum /
+# predict_mean_analytic / compute_F_and_G_analytic, Propagator.cpp:588-829):
+# closed-form integrals of the constant-(ω, a) motion over one interval.
+# ---------------------------------------------------------------------------
+
+
+def _xi_sum(w_hat, a_hat, dt, dtype):
+    """(R_ktok1, Ξ₁, Ξ₂, Jr_ktok1, Ξ₃, Ξ₄) — the analytic integration
+    components (compute_Xi_sum parity, Propagator.cpp:588-668).
+
+    Ξ₁ = ∫ exp(ωτ)ᵀ dτ,  Ξ₂ = ∬ exp(ωτ)ᵀ,  Ξ₃/Ξ₄ their ∂/∂ω contractions.
+    Both the constant-ω series and the small-ω limit are evaluated and
+    selected with jnp.where (denominators clamped so the unselected branch
+    never produces NaN under jit).
+    """
+    I3 = jnp.eye(3, dtype=dtype)
+    w_norm = jnp.linalg.norm(w_hat)
+    small = w_norm < (jnp.pi / 360.0)  # 1.0/180*pi/2 (reference threshold)
+    wn = jnp.maximum(w_norm, 1e-12)
+    k_hat = w_hat / wn
+    d_th = w_norm * dt
+    d_t2, d_t3 = dt * dt, dt * dt * dt
+    wn2, wn3 = wn * wn, wn * wn * wn
+    cos_dth, sin_dth = jnp.cos(d_th), jnp.sin(d_th)
+    d_th2, d_th3 = d_th * d_th, d_th * d_th * d_th
+    sK = lie.skew(k_hat)
+    sK2 = sK @ sK
+    sA = lie.skew(a_hat)
+    ka = jnp.dot(k_hat, a_hat)
+
+    R_ktok1 = lie.exp_so3(-w_hat * dt)
+    Jr_ktok1 = lie.Jr_so3(-w_hat * dt)
+
+    # constant-omega closed forms (Propagator.cpp:620-640)
+    Xi1_big = I3 * dt + (1.0 - cos_dth) / wn * sK + (dt - sin_dth / wn) * sK2
+    Xi2_big = (0.5 * d_t2 * I3 + (d_th - sin_dth) / wn2 * sK
+               + (0.5 * d_t2 - (1.0 - cos_dth) / wn2) * sK2)
+    Xi3_big = (0.5 * d_t2 * sA
+               + (sin_dth - d_th) / wn2 * (sA @ sK)
+               + (sin_dth - d_th * cos_dth) / wn2 * (sK @ sA)
+               + (0.5 * d_t2 - (1.0 - cos_dth) / wn2) * (sA @ sK2)
+               + (0.5 * d_t2 + (1.0 - cos_dth - d_th * sin_dth) / wn2)
+               * (sK2 @ sA + ka * sK)
+               - (3.0 * sin_dth - 2.0 * d_th - d_th * cos_dth) / wn2
+               * ka * sK2)
+    Xi4_big = (d_t3 / 6.0 * sA
+               + (2.0 * (1.0 - cos_dth) - d_th2) / (2.0 * wn3) * (sA @ sK)
+               + (2.0 * (1.0 - cos_dth) - d_th * sin_dth) / wn3 * (sK @ sA)
+               + ((sin_dth - d_th) / wn3 + d_t3 / 6.0) * (sA @ sK2)
+               + (d_th - 2.0 * sin_dth + d_th3 / 6.0 + d_th * cos_dth) / wn3
+               * (sK2 @ sA + ka * sK)
+               + (4.0 * cos_dth - 4.0 + d_th2 + d_th * sin_dth) / wn3
+               * ka * sK2)
+
+    # small-omega limits (Propagator.cpp:642-656)
+    Xi1_small = dt * (I3 + sin_dth * sK + (1.0 - cos_dth) * sK2)
+    Xi2_small = 0.5 * dt * Xi1_small
+    Xi3_small = 0.5 * d_t2 * (
+        sA + sin_dth * (-(sA @ sK) + sK @ sA + ka * sK2)
+        + (1.0 - cos_dth) * (sA @ sK2 + sK2 @ sA + ka * sK))
+    Xi4_small = dt / 3.0 * Xi3_small
+
+    Xi1 = jnp.where(small, Xi1_small, Xi1_big)
+    Xi2 = jnp.where(small, Xi2_small, Xi2_big)
+    Xi3 = jnp.where(small, Xi3_small, Xi3_big)
+    Xi4 = jnp.where(small, Xi4_small, Xi4_big)
+    return R_ktok1, Xi1, Xi2, Jr_ktok1, Xi3, Xi4
+
+
+def _step_mean_analytic(q, p, v, xi, a_hat, dt, gravity):
+    """Analytic mean (predict_mean_analytic parity, Propagator.cpp:670-687)."""
+    R_ktok1, Xi1, Xi2, *_ = xi
+    R_GtoI_T = lie.quat_2_rot(q).T
+    q_new = lie.quat_multiply(lie.rot_2_quat(R_ktok1), q)
+    v_new = v + R_GtoI_T @ (Xi1 @ a_hat) - gravity * dt
+    p_new = p + v * dt + R_GtoI_T @ (Xi2 @ a_hat) - 0.5 * gravity * dt * dt
+    return q_new, p_new, v_new
+
+
+def _phi_qd_analytic(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux, xi):
+    """Analytic Φ/B/Qd (compute_F_and_G_analytic parity,
+    Propagator.cpp:694-829, KALIBR model with R_atoI = I).
+
+    Shares the FEJ integrated-displacement θ-columns with the discrete form;
+    the bias/noise columns use the closed-form Ξ integrals instead of the
+    first-order dt/dt² factors.
+    """
+    q_lin, p_lin, v_lin = lin
+    q_new, p_new, v_new = new
+    Dw, Da, Tg, R_w, w_hat, a_hat, u_w, u_a = aux
+    _, Xi1, Xi2, Jr_ktok1, Xi3, Xi4 = xi
+    RwDw = R_w @ Dw
+    RwDwTg = RwDw @ Tg
+
+    R_k = lie.quat_2_rot(q_lin)
+    R_kT = R_k.T
+    dR = lie.quat_2_rot(q_new) @ R_kT
+    dRJr = dR @ Jr_ktok1 * dt  # dR_ktok1 · Jr(−ω dt) · dt
+
+    I3 = jnp.eye(3, dtype=dtype)
+    Z = jnp.zeros((3, 3), dtype=dtype)
+    Fp_th = -lie.skew(p_new - p_lin - v_lin * dt + 0.5 * gravity * dt * dt) @ R_kT
+    Fv_th = -lie.skew(v_new - v_lin + gravity * dt) @ R_kT
+
+    Fth_bg = -dRJr @ RwDw
+    Fp_bg = R_kT @ Xi4 @ RwDw
+    Fv_bg = R_kT @ Xi3 @ RwDw
+    Fth_ba = dRJr @ RwDwTg @ Da
+    Fp_ba = -R_kT @ (Xi2 + Xi4 @ RwDwTg) @ Da
+    Fv_ba = -R_kT @ (Xi1 + Xi3 @ RwDwTg) @ Da
+
+    F_th = [dR, Z, Z, Fth_bg, Fth_ba]
+    F_p = [Fp_th, I3, I3 * dt, Fp_bg, Fp_ba]
+    F_v = [Fv_th, Z, I3, Fv_bg, Fv_ba]
+    F_bg = [Z, Z, Z, I3, Z]
+    F_ba = [Z, Z, Z, Z, I3]
+    Phi = jnp.block([F_th, F_p, F_v, F_bg, F_ba])
+
+    # intrinsic columns B [15, 24] over [dw(6) da(6) tg(9) th_w(3)]
+    B = jnp.zeros((15, 24), dtype=dtype)
+    if cfg.calib_imu_intrinsics:
+        H_Dw = R_w @ _H_scale6(u_w)
+        H_Da = _H_scale6(u_a)
+        B = B.at[0:3, 0:6].set(dRJr @ H_Dw)
+        B = B.at[3:6, 0:6].set(-R_kT @ Xi4 @ H_Dw)
+        B = B.at[6:9, 0:6].set(-R_kT @ Xi3 @ H_Dw)
+        B = B.at[0:3, 6:12].set(-dRJr @ RwDwTg @ H_Da)
+        B = B.at[3:6, 6:12].set(R_kT @ (Xi2 + Xi4 @ RwDwTg) @ H_Da)
+        B = B.at[6:9, 6:12].set(R_kT @ (Xi1 + Xi3 @ RwDwTg) @ H_Da)
+        sW = lie.skew(w_hat)
+        B = B.at[0:3, 21:24].set(dRJr @ sW)
+        B = B.at[3:6, 21:24].set(-R_kT @ Xi4 @ sW)
+        B = B.at[6:9, 21:24].set(-R_kT @ Xi3 @ sW)
+    if cfg.calib_imu_g_sensitivity:
+        H_Tg = RwDw @ _H_tg(a_hat)
+        B = B.at[0:3, 12:21].set(-dRJr @ H_Tg)
+        B = B.at[3:6, 12:21].set(R_kT @ Xi4 @ H_Tg)
+        B = B.at[6:9, 12:21].set(R_kT @ Xi3 @ H_Tg)
+
+    # G [15,12] over [n_g n_a n_wg n_wa] (Propagator.cpp:816-827)
+    G = jnp.zeros((15, 12), dtype=dtype)
+    G = G.at[0:3, 0:3].set(Fth_bg)
+    G = G.at[3:6, 0:3].set(Fp_bg)
+    G = G.at[6:9, 0:3].set(Fv_bg)
+    G = G.at[0:3, 3:6].set(Fth_ba)
+    G = G.at[3:6, 3:6].set(Fp_ba)
+    G = G.at[6:9, 3:6].set(Fv_ba)
+    G = G.at[9:12, 6:9].set(I3 * dt)
+    G = G.at[12:15, 9:12].set(I3 * dt)
+    inv_dt = jnp.where(dt > 0, 1.0 / jnp.maximum(dt, 1e-12), 0.0)
+    qc = jnp.concatenate(
+        [
+            jnp.full((3,), cfg.sigma_w**2, dtype=dtype),
+            jnp.full((3,), cfg.sigma_a**2, dtype=dtype),
+            jnp.full((3,), cfg.sigma_wb**2, dtype=dtype),
+            jnp.full((3,), cfg.sigma_ab**2, dtype=dtype),
+        ]
+    ) * inv_dt
+    Qd = (G * qc[None, :]) @ G.T
+    return Phi, B, Qd
+
+
 def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux):
     """Error-state Φ [15,15] and Qd [15,15] for one interval.
 
@@ -253,17 +416,33 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
         dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
         # correct raw samples through biases + IMU intrinsics
         w1c, a1c, u_w1, u_a1 = correct_imu(state, win.w[k], win.a[k])
-        w2c, a2c, _, _ = correct_imu(state, win.w[k + 1], win.a[k + 1])
+        w2c, a2c, u_w2, u_a2 = correct_imu(state, win.w[k + 1], win.a[k + 1])
         zero3 = jnp.zeros(3, dtype)
-        q2, p2, v2, w_hat, a_hat = _step_mean(
-            q, p, v, zero3, zero3, w1c, a1c, w2c, a2c, dt, gravity,
-            cfg.integration
-        )
         Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
-        aux = (Dw, Da, Tg, R_w, w_hat, a_hat, u_w1, u_a1)
-        Phi_k, B_k, Qd_k = _phi_qd(
-            (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg, dtype, aux
-        )
+        if cfg.integration == "analytical":
+            # ACI²: closed-form constant-(ω,a) integration over the interval
+            # with interval-averaged corrected samples
+            # (predict_and_compute's w_hat_avg/a_hat_avg, Propagator.cpp:404-431)
+            w_hat = 0.5 * (w1c + w2c)
+            a_hat = 0.5 * (a1c + a2c)
+            xi = _xi_sum(w_hat, a_hat, dt, dtype)
+            q2, p2, v2 = _step_mean_analytic(q, p, v, xi, a_hat, dt, gravity)
+            aux = (Dw, Da, Tg, R_w, w_hat, a_hat,
+                   0.5 * (u_w1 + u_w2), 0.5 * (u_a1 + u_a2))
+            Phi_k, B_k, Qd_k = _phi_qd_analytic(
+                (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg,
+                dtype, aux, xi
+            )
+        else:
+            q2, p2, v2, w_hat, a_hat = _step_mean(
+                q, p, v, zero3, zero3, w1c, a1c, w2c, a2c, dt, gravity,
+                cfg.integration
+            )
+            aux = (Dw, Da, Tg, R_w, w_hat, a_hat, u_w1, u_a1)
+            Phi_k, B_k, Qd_k = _phi_qd(
+                (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg,
+                dtype, aux
+            )
         # padded (dt=0) intervals must be exact no-ops even when the
         # linearization point differs from the estimate
         Phi_k = jnp.where(dt > 0, Phi_k, jnp.eye(15, dtype=dtype))
@@ -319,10 +498,16 @@ def fast_state_propagate(state: VioState, cfg: FilterConfig, win: ImuWindow):
         w1c, a1c, _, _ = correct_imu(state, win.w[k], win.a[k])
         w2c, a2c, _, _ = correct_imu(state, win.w[k + 1], win.a[k + 1])
         zero3 = jnp.zeros(3, dtype)
-        q2, p2, v2, _, _ = _step_mean(
-            q, p, v, zero3, zero3, w1c, a1c, w2c, a2c, dt, gravity,
-            cfg.integration
-        )
+        if cfg.integration == "analytical":
+            w_hat = 0.5 * (w1c + w2c)
+            a_hat = 0.5 * (a1c + a2c)
+            xi = _xi_sum(w_hat, a_hat, dt, dtype)
+            q2, p2, v2 = _step_mean_analytic(q, p, v, xi, a_hat, dt, gravity)
+        else:
+            q2, p2, v2, _, _ = _step_mean(
+                q, p, v, zero3, zero3, w1c, a1c, w2c, a2c, dt, gravity,
+                cfg.integration
+            )
         return (q2, p2, v2), None
 
     (q, p, v), _ = jax.lax.scan(body, (state.q, state.p, state.v),

@@ -97,5 +97,29 @@ class TestClosedLoop:
         assert m > 0.5, f"pose NEES suspiciously low: {m:.2f}"
 
 
+class TestClosedLoopAnalytic:
+    """ACI² analytic integrator must match RK4-grade accuracy + consistency
+    in closed loop (integration='analytical', Propagator.cpp:588-829)."""
+
+    def test_analytical_integration_closed_loop(self):
+        cfg = CFG._replace(integration="analytical")
+        sim = simulator.build(PARAMS, seed=21)
+        run = runner.stage_run(sim, PARAMS)
+        state, outs = jax.jit(
+            lambda r: runner.run_filter(cfg, TRI, sim, PARAMS, r)
+        )(run)
+        therr, perr, covs = pose_errors(run, outs)
+        rmse_p = np.sqrt((perr**2).sum(axis=1).mean())
+        assert np.all(np.isfinite(np.array(state.cov)))
+        assert rmse_p < 0.10, f"analytic position RMSE too high: {rmse_p:.3f} m"
+        covs = np.array(covs)
+        nees = []
+        for k in range(40, len(therr)):
+            e = np.concatenate([therr[k], perr[k]])
+            nees.append(e @ np.linalg.solve(covs[k] + 1e-12 * np.eye(6), e))
+        m = np.asarray(nees).mean()
+        assert 0.5 < m < 10.0, f"analytic pose NEES inconsistent: {m:.1f}"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-s"])

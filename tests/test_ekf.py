@@ -145,9 +145,11 @@ class TestPropagation:
                          cov=random_spd(CFG.state_dim, seed=9, scale=0.01))
         return st
 
-    def test_mean_tracks_groundtruth(self):
+    @pytest.mark.parametrize("integration", ["rk4", "discrete", "analytical"])
+    def test_mean_tracks_groundtruth(self, integration):
         params, sim = self._sim()
         st = self._init_from_gt(sim, params, 0.0)
+        cfg = CFG._replace(integration=integration)
         n = 200  # 1 second at 200 Hz
         steps = np.arange(n + 1)
         imu = [simulator.get_imu(sim, params, int(s)) for s in steps]
@@ -156,7 +158,7 @@ class TestPropagation:
             w=jnp.stack([s.wm for s in imu]),
             a=jnp.stack([s.am for s in imu]),
         )
-        st2 = propagator.propagate(st, CFG, win, float(imu[-1].t))
+        st2 = propagator.propagate(st, cfg, win, float(imu[-1].t))
         q_gt, p_gt, v_gt, _, _ = simulator.get_state(sim, params, imu[-1].t)
         assert float(jnp.linalg.norm(st2.p - p_gt)) < 0.01, "position drift"
         assert float(jnp.linalg.norm(st2.v - v_gt)) < 0.02, "velocity drift"
@@ -165,10 +167,12 @@ class TestPropagation:
         ang = float(jnp.linalg.norm(lie.log_so3(R_est @ R_gt.T)))
         assert ang < 0.005, f"orientation drift {ang}"
 
-    def test_phi_vs_finite_diff(self):
+    @pytest.mark.parametrize("integration", ["rk4", "analytical"])
+    def test_phi_vs_finite_diff(self, integration):
         """Φ must match the numerical Jacobian of the propagation map."""
         params, sim = self._sim()
         st = self._init_from_gt(sim, params, 0.0)
+        cfg = CFG._replace(integration=integration)
         n = 10
         imu = [simulator.get_imu(sim, params, int(s)) for s in range(n + 1)]
         win = propagator.ImuWindow(
@@ -179,7 +183,7 @@ class TestPropagation:
         t1 = float(imu[-1].t)
 
         def prop_mean(st0):
-            s = propagator.propagate(st0, CFG, win, t1)
+            s = propagator.propagate(st0, cfg, win, t1)
             return s
 
         base = prop_mean(st)
@@ -211,7 +215,7 @@ class TestPropagation:
 
         # recover Φ from the covariance application: propagate a zero-Q state
         # with identity covariance and read the imu block transform
-        cfg0 = CFG._replace(sigma_w=0.0, sigma_a=0.0, sigma_wb=0.0, sigma_ab=0.0)
+        cfg0 = cfg._replace(sigma_w=0.0, sigma_a=0.0, sigma_wb=0.0, sigma_ab=0.0)
         st_eye = st._replace(cov=jnp.eye(D))
         out = propagator.propagate(st_eye, cfg0, win, t1)
         Phi_cov = np.array(out.cov)[:15, :15]  # = Φ Φᵀ ... not directly Φ
