@@ -17,7 +17,7 @@ PARAMS = simulator.SimParams(
 )
 
 
-def build_input(sim, params, n_pose=6, window=2.0, seed=0):
+def build_input(sim, params, n_pose=6, window=2.0, seed=0, fixed_F=None):
     """Assemble a DynInitInput from the simulator over [0, window]."""
     frames_per_pose = int(window * params.cam_rate / (n_pose - 1))
     frame_idx = [k * frames_per_pose for k in range(n_pose)]
@@ -46,7 +46,7 @@ def build_input(sim, params, n_pose=6, window=2.0, seed=0):
             if mask[j] and ids[j] >= 0:
                 obs[int(ids[j])][k] = uvn[j]
     feats = [fid for fid, d in obs.items() if len(d) >= n_pose // 2 + 1]
-    F = min(len(feats), 25)
+    F = min(len(feats), 25) if fixed_F is None else fixed_F
     uvn_arr = np.zeros((F, n_pose, 2), np.float32)
     m_arr = np.zeros((F, n_pose), bool)
     for fi, fid in enumerate(feats[:F]):
@@ -105,6 +105,64 @@ class TestDynamicInit:
         c = np.array(res.cov15)
         assert np.all(np.isfinite(c))
         assert np.linalg.eigvalsh(c).min() > 0
+
+    def test_covariance_monte_carlo_nees(self):
+        """Sampled NEES of the recovered init covariance ≈ dof.
+
+        Validates the CPI-whitened GN covariance (VERDICT round-1 item #8):
+        over noise realizations, the gauge-invariant error subset
+        [v_body(3), bg(3), ba(3)] must be statistically covered by the
+        corresponding cov15 blocks with inflation disabled.  v_body = R(q)v
+        is gauge-invariant (global yaw/position are unobservable), with
+        J = [⌊R̂v̂⌋, R̂] mapping (δθ, δv) covariance into it.
+        """
+        opts = dynamic_init.DynamicInitOptions(
+            inflation_ori=1.0, inflation_vel=1.0,
+            inflation_bg=1.0, inflation_ba=1.0,
+        )
+        init_fn = jax.jit(lambda i: dynamic_init.initialize(i, opts))
+        nees = []
+        for seed in range(6):
+            sim = simulator.build(PARAMS, seed=100 + seed)
+            inp = build_input(sim, PARAMS, fixed_F=25)
+            res = init_fn(inp)
+            if not bool(res.success):
+                continue
+            t_last = float(inp.t_pose[-1])
+            q_gt, p_gt, v_gt, bg_gt, ba_gt = simulator.get_state(
+                sim, PARAMS, jnp.asarray(t_last))
+            R_est = np.array(lie.quat_2_rot(res.q_GtoI))
+            v_est = np.array(res.v)
+            v_body_est = R_est @ v_est
+            v_body_gt = np.array(lie.quat_2_rot(q_gt)) @ np.array(v_gt)
+            e = np.concatenate([
+                v_body_est - v_body_gt,
+                np.array(res.bg) - np.array(bg_gt),
+                np.array(res.ba) - np.array(ba_gt),
+            ])
+            c = np.array(res.cov15, dtype=np.float64)
+            J = np.zeros((3, 6))
+            Rv = R_est @ v_est
+            J[:, :3] = np.array([[0, -Rv[2], Rv[1]],
+                                 [Rv[2], 0, -Rv[0]],
+                                 [-Rv[1], Rv[0], 0]])
+            J[:, 3:] = R_est
+            idx_tv = np.r_[0:3, 6:9]
+            P_vb = J @ c[np.ix_(idx_tv, idx_tv)] @ J.T
+            P9 = np.zeros((9, 9))
+            P9[:3, :3] = P_vb
+            P9[3:6, 3:6] = c[9:12, 9:12]
+            P9[6:9, 6:9] = c[12:15, 12:15]
+            # cross terms between v_body and biases
+            P9[:3, 3:9] = J @ c[np.ix_(idx_tv, np.r_[9:15])]
+            P9[3:9, :3] = P9[:3, 3:9].T
+            P9[3:9, 3:9] = c[9:15, 9:15]
+            nees.append(e @ np.linalg.solve(P9 + 1e-14 * np.eye(9), e))
+        assert len(nees) >= 4, f"too few successful inits ({len(nees)}/6)"
+        m = float(np.mean(nees))
+        # dof 9; loose band (few samples + nonlinearity), but catches the
+        # old scalar-whitening miscalibration (which sat far outside it)
+        assert 2.0 < m < 30.0, f"init MC NEES {m:.1f} (dof 9): {nees}"
 
     def test_fails_gracefully_without_features(self):
         sim = simulator.build(PARAMS, seed=12)
