@@ -153,16 +153,55 @@ def nullspace_project(H_x, H_f, res):
     return H_proj, res_proj
 
 
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _tsqr_r(A, min_ratio=4):
+    """R factor of a tall [m, n] matrix by TSQR row-block reduction.
+
+    The m-row column-sequential Householder QR (HBM-bound on TPU) becomes
+    g independent [B, n] block factorizations — each done entirely in VMEM
+    by a Pallas kernel on TPU (ops.pallas_kernels.householder_qr_blocks) —
+    followed by one small [g·n, n] combine QR.  Any R with RᵀR = AᵀA is an
+    orthogonal transform of the same system, so the EKF update is identical
+    (the UpdaterHelper.cpp:456-487 argument).  Zero-padded rows/cols are
+    exact no-ops.  Falls back to one dense QR when m < min_ratio·n.
+    """
+    m, n = A.shape
+    if m < min_ratio * n:
+        return jnp.linalg.qr(A, mode="r")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        from open_vins_tpu.ops.pallas_kernels import (
+            householder_qr_blocks_pallas)
+        n_pad = _round_up(n, 128)
+        B = _round_up(2 * n_pad, 8)
+    else:
+        n_pad = n
+        B = 2 * n
+    g = max(1, -(-m // B))
+    A_p = jnp.zeros((g * B, n_pad), A.dtype).at[:m, :n].set(A)
+    blocks = A_p.reshape(g, B, n_pad)
+    if on_tpu:
+        R_b = householder_qr_blocks_pallas(blocks)  # [g, n_pad, n_pad]
+    else:
+        R_b = jax.vmap(lambda b: jnp.linalg.qr(b, mode="r"))(blocks)
+    stacked = R_b.reshape(g * n_pad, n_pad)[:, :n]
+    return jnp.linalg.qr(stacked, mode="r")[:n, :]
+
+
 def compress_system(H, res, out_rows):
     """QR measurement compression (UpdaterHelper.cpp:456-487 parity).
 
     Householder QR of the augmented [H | res]; the leading `out_rows` rows of
     R give the compressed system under the same orthogonal transform (the
     first D reflectors depend only on H, so column D+1 of R is Qᵀ res).
+    Tall systems route through the blocked TSQR reduction (`_tsqr_r`).
     """
     m, D = H.shape
     A = jnp.concatenate([H, res[:, None]], axis=1)
-    R = jnp.linalg.qr(A, mode="r")
+    R = _tsqr_r(A)
     k = min(out_rows, R.shape[0])
     H_c = jnp.zeros((out_rows, D), dtype=H.dtype).at[:k].set(R[:k, :D])
     res_c = jnp.zeros((out_rows,), dtype=H.dtype).at[:k].set(R[:k, D])

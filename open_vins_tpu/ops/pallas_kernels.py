@@ -72,3 +72,64 @@ def symmetric_downdate(P, K, PHt):
         return symmetric_downdate_pallas(P, K, PHt)
     cov = P - K @ PHt.T
     return 0.5 * (cov + cov.T)
+
+
+# ---------------------------------------------------------------------------
+# Blocked-Householder QR for measurement compression (UpdaterHelper.cpp:
+# 456-487 role).  The tall [m, n] stacked system is split into row blocks;
+# each block is QR-factored entirely in VMEM by one kernel invocation (the
+# HBM-bound column-sequential tall QR becomes g independent in-register
+# factorizations), then the stacked per-block R factors are combined by one
+# small QR — the classic TSQR reduction, which is an exact orthogonal
+# transform of the original system (R^T R = A^T A).
+# ---------------------------------------------------------------------------
+
+
+def _house_qr_block_kernel(A_ref, R_ref):
+    """In-VMEM Householder QR of one [B, n] row block; writes R [n, n].
+
+    Sequential over columns (fori_loop) but every step is a full-width VPU
+    vector op on VMEM-resident data — no HBM traffic until the final store.
+    Zero-padded rows/columns are exact no-ops (v = 0 ⇒ identity reflector).
+    """
+    A = A_ref[:].reshape(A_ref.shape[-2], A_ref.shape[-1])
+    B, n = A.shape
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+
+    def body(j, A):
+        # one-hot column extraction — Mosaic has no dynamic_slice on TPU,
+        # and the contraction is the same O(B·n) as the reflector apply
+        col = jnp.sum(jnp.where(cidx == j, A, 0.0), axis=1)
+        x = jnp.where(ridx >= j, col, 0.0)
+        normx = jnp.sqrt(jnp.sum(x * x))
+        alpha = jnp.sum(jnp.where(ridx == j, x, 0.0))
+        sgn = jnp.where(alpha >= 0, 1.0, -1.0)
+        beta = -sgn * normx
+        v = x - jnp.where(ridx == j, beta, 0.0)
+        vnorm2 = jnp.sum(v * v)
+        scale = jnp.where(vnorm2 > 1e-30, 2.0 / vnorm2, 0.0)
+        w = jnp.dot(v, A, preferred_element_type=jnp.float32)  # [n]
+        return A - scale * v[:, None] * w[None, :]
+
+    A = jax.lax.fori_loop(0, n, body, A)
+    # keep the leading n rows; mask the strictly-lower numerical residue
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rown = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    R_ref[:] = jnp.where(cidx >= rown, A[:n, :], 0.0).reshape(R_ref.shape)
+
+
+def householder_qr_blocks_pallas(A_blocks, interpret=False):
+    """Batched in-VMEM Householder QR: [g, B, n] -> R factors [g, n, n].
+
+    B and n must already be padded to TPU tile multiples by the caller.
+    """
+    g, B, n = A_blocks.shape
+    return pl.pallas_call(
+        _house_qr_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((g, n, n), A_blocks.dtype),
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, B, n), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(A_blocks)
