@@ -76,6 +76,24 @@ def ate(est_p, est_R, gt_p, gt_R, method="se3"):
     return Stats.of(e_ori), Stats.of(e_pos)
 
 
+def ate_2d(est_p, est_R, gt_p, gt_R, method="posyaw"):
+    """Planar absolute trajectory error (ResultTrajectory::calculate_ate_2d,
+    ResultTrajectory.h:106-117 / .cpp): after alignment, position error in
+    the x-y plane only and orientation error as yaw only (degrees).
+
+    Returns (Stats yaw_deg, Stats pos2d_m).
+    """
+    s, R, t = align_trajectory(est_p, gt_p, method)
+    p_a, R_a = apply_alignment(est_p, est_R, s, R, t)
+    gt_p = np.asarray(gt_p)
+    gt_R = np.asarray(gt_R)
+    e_pos = np.linalg.norm(gt_p[:, :2] - p_a[:, :2], axis=1)
+    # yaw of the relative rotation (z-axis heading difference)
+    rel = np.einsum("nij,nkj->nik", gt_R, R_a)  # R_gt R_estᵀ
+    yaw = np.degrees(np.arctan2(rel[:, 1, 0], rel[:, 0, 0]))
+    return Stats.of(np.abs(yaw)), Stats.of(e_pos)
+
+
 def rpe(est_p, est_R, gt_p, gt_R, segment_lengths=(8.0, 16.0, 24.0, 32.0, 40.0, 48.0)):
     """Relative pose error over distance segments (ResultTrajectory::calculate_rpe).
 

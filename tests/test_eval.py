@@ -126,5 +126,97 @@ class TestIO:
         np.testing.assert_allclose(q[0], [0, 0, 0, 1], atol=1e-9)
 
 
+class TestEvalCLIs:
+    """The eval CLIs must run end-to-end on repo-produced artifacts
+    (error_dataset / timing_flamegraph / timing_comparison / pose_to_file /
+    live_align_trajectory parity, /root/reference/ov_eval/src/)."""
+
+    def _write_runs(self, tmp_path):
+        t, p, R = make_traj(300, seed=5)
+        q = traj_io.rot_to_quat_xyzw(R)
+        gt = tmp_path / "gt.txt"
+        traj_io.save_tum(gt, t, p, q)
+        algos = tmp_path / "algorithms"
+        rng = np.random.default_rng(6)
+        for algo, sigma in [("ours", 0.01), ("noisy", 0.05)]:
+            d = algos / algo
+            d.mkdir(parents=True)
+            for run in range(2):
+                pe = p + rng.normal(size=p.shape) * sigma
+                traj_io.save_tum(d / f"run{run}.txt", t, pe, q)
+        return gt, algos, (t, p, q)
+
+    def test_ate_2d(self):
+        _, p, R = make_traj(100)
+        yaw, pos = metrics.ate_2d(p + [0.0, 0.0, 9.0], R, p, R, "posyaw")
+        # pure z offset: zero planar error after alignment
+        assert pos.rmse < 1e-6 and yaw.rmse < 1e-6
+
+    def test_error_dataset_cli(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "examples"))
+        import error_dataset
+        gt, algos, _ = self._write_runs(tmp_path)
+        results = error_dataset.evaluate("se3", str(gt), str(algos),
+                                         segments=(2.0, 4.0))
+        assert set(results) == {"ours", "noisy"}
+        assert len(results["ours"][1]) == 2  # two runs evaluated
+        assert np.mean(results["ours"][1]) < np.mean(results["noisy"][1])
+
+    def test_timing_clis(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "examples"))
+        from open_vins_tpu.utils.timing import FrameTimer
+        import timing_comparison
+        import timing_flamegraph
+        csvs = []
+        for name in ("a", "b"):
+            path = tmp_path / f"{name}.csv"
+            timer = FrameTimer(str(path))
+            for k in range(20):
+                timer.start_frame()
+                timer.stage("tracking")
+                timer.stage("propagation")
+                timer.stage("msckf")
+                timer.end_frame(k * 0.05)
+            timer.close()
+            csvs.append(str(path))
+        rows = timing_comparison.compare(csvs)
+        assert rows and rows[0][0] == "tracking"
+        timing_flamegraph.flamegraph(csvs[0])  # prints; must not raise
+
+    def test_pose_to_file_and_live_align(self, tmp_path):
+        import io
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "examples"))
+        import live_align_trajectory
+        import pose_to_file
+        gt, _, (t, p, q) = self._write_runs(tmp_path)
+        # stream poses (with a yaw+offset disturbance) through pose_to_file
+        yaw = 0.4
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+        p_est = (Rz.T @ (p - [1.0, -2.0, 0.5]).T).T
+        R_est = np.einsum("ij,njk->nik", Rz.T, traj_io.quat_xyzw_to_rot(q))
+        q_est = traj_io.rot_to_quat_xyzw(R_est)
+        lines = "\n".join(
+            " ".join(f"{v:.9f}" for v in [t[i], *p_est[i], *q_est[i]])
+            for i in range(len(t))
+        )
+        est = tmp_path / "est.txt"
+        n = pose_to_file.record(io.StringIO(lines), str(est))
+        assert n == len(t)
+        out = tmp_path / "aligned.txt"
+        ok = live_align_trajectory.align_once("posyaw", str(gt), str(est),
+                                              str(out))
+        assert ok
+        t2, p2, _ = traj_io.load_tum(out)
+        err = np.linalg.norm(p2 - p, axis=1)
+        assert np.sqrt((err**2).mean()) < 1e-6
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
