@@ -79,7 +79,9 @@ def main():
     qs, ps, vs, covs, diag = outs
     gt_q = np.array(run.gt_q)[1:]
     gt_p = np.array(run.gt_p)[1:]
-    perr = np.array(ps) - gt_p
+    # δp = gt − est matches δθ = −log(R_gt R_estᵀ); mixed signs corrupt the
+    # joint-NEES cross term (RMSE is sign-invariant)
+    perr = gt_p - np.array(ps)
     R_est = np.array(jax.vmap(lie.quat_2_rot)(qs))
     R_gt = np.array(jax.vmap(lie.quat_2_rot)(jnp.asarray(gt_q)))
     rel = jnp.asarray(R_gt @ np.swapaxes(R_est, -1, -2))

@@ -46,7 +46,12 @@ def pose_errors(run, outs):
     # outs index k corresponds to frame k+1
     gt_q = np.array(run.gt_q)[1:]
     gt_p = np.array(run.gt_p)[1:]
-    perr = np.array(ps) - gt_p
+    # error convention MUST match the filter: δx = x_true ⊟ x_est, i.e.
+    # δp = gt − est AND δθ = −log(R_gt R_estᵀ).  Mixing est−gt with that δθ
+    # flips the sign of the θ–p cross term in the joint NEES and inflates it
+    # ~3-5× once landmark updates build real cross-covariance (this exact
+    # bug masqueraded as a SLAM FEJ inconsistency through round 1).
+    perr = gt_p - np.array(ps)
     therr = []
     for k in range(len(gt_q)):
         R_est = np.array(lie.quat_2_rot(jnp.asarray(np.array(qs)[k])))

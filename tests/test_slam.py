@@ -73,7 +73,9 @@ class TestSlam:
         qs, ps, _, covs, _ = outs
         gt_q = np.array(run.gt_q)[1:]
         gt_p = np.array(run.gt_p)[1:]
-        perr = np.array(ps) - gt_p
+        # δp = gt − est to match δθ = −log(R_gt R_estᵀ): a mixed convention
+        # flips the θ–p cross term and inflates the joint NEES 3-5×
+        perr = gt_p - np.array(ps)
         covs = np.array(covs)
         nees = []
         for k in range(40, len(gt_q)):
