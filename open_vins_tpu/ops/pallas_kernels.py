@@ -94,23 +94,28 @@ def _house_qr_block_kernel(A_ref, R_ref):
     """
     A = A_ref[:].reshape(A_ref.shape[-2], A_ref.shape[-1])
     B, n = A.shape
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+    # everything stays 2-D: Mosaic's 1-D vector layouts (1×N replicated)
+    # cannot be relayed out between iota-derived and reduction-derived
+    # values on this backend — [B,1] column vectors avoid the issue
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)  # [B,1]
     cidx = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
 
     def body(j, A):
         # one-hot column extraction — Mosaic has no dynamic_slice on TPU,
         # and the contraction is the same O(B·n) as the reflector apply
-        col = jnp.sum(jnp.where(cidx == j, A, 0.0), axis=1)
-        x = jnp.where(ridx >= j, col, 0.0)
+        col = jnp.sum(jnp.where(cidx == j, A, 0.0), axis=1, keepdims=True)
+        x = jnp.where(ridx >= j, col, 0.0)  # [B,1]
         normx = jnp.sqrt(jnp.sum(x * x))
         alpha = jnp.sum(jnp.where(ridx == j, x, 0.0))
         sgn = jnp.where(alpha >= 0, 1.0, -1.0)
         beta = -sgn * normx
-        v = x - jnp.where(ridx == j, beta, 0.0)
+        v = x - jnp.where(ridx == j, beta, 0.0)  # [B,1]
         vnorm2 = jnp.sum(v * v)
         scale = jnp.where(vnorm2 > 1e-30, 2.0 / vnorm2, 0.0)
-        w = jnp.dot(v, A, preferred_element_type=jnp.float32)  # [n]
-        return A - scale * v[:, None] * w[None, :]
+        # reflector apply as two matmuls: w = vᵀA [1,n], outer = v w [B,n]
+        w = jnp.dot(v.T, A, preferred_element_type=jnp.float32)
+        outer = jnp.dot(v, w, preferred_element_type=jnp.float32)
+        return A - scale * outer
 
     A = jax.lax.fori_loop(0, n, body, A)
     # keep the leading n rows; mask the strictly-lower numerical residue
