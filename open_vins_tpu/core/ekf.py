@@ -190,24 +190,40 @@ def active_mask(state: VioState, cfg: FilterConfig):
     return mask
 
 
-def ekf_update(state: VioState, cfg: FilterConfig, H, res, r_diag) -> VioState:
-    """Standard EKF update; padded rows must have H=0, res=0, r_diag=1.
+def kalman_update_math(cov, H, res, r_diag, fuse_downdate=True):
+    """The shared dense update math: (dx [D], new_cov [D,D]).
 
-    Mirrors StateHelper::EKFUpdate (StateHelper.cpp:116-197): M = P Hᵀ,
-    S = H M + R solved by Cholesky, state boxplus, symmetric covariance
-    downdate.  The reference aborts on negative covariance diagonals; here we
-    clamp-symmetrize (f32 on TPU) and expose the diagonal for health checks.
+    M = P Hᵀ, S = H M + R solved by Cholesky, symmetric covariance downdate
+    (StateHelper::EKFUpdate core, StateHelper.cpp:116-197).  Padded rows
+    must carry H=0, res=0, r_diag=1 (exact no-ops).  `fuse_downdate` routes
+    the downdate through the tiled Pallas kernel on TPU; the GSPMD-sharded
+    caller keeps the plain matmul form so XLA can shard it
+    (parallel/sharded_ekf.py).
     """
-    from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
-
-    PHt = state.cov @ H.T  # [D, m]
+    PHt = cov @ H.T  # [D, m]
     S = H @ PHt + jnp.diag(r_diag)
     S = 0.5 * (S + S.T)
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
     K = jax.scipy.linalg.cho_solve(chol, PHt.T).T  # [D, m]
     dx = K @ res
-    # fused tiled symmetric downdate (Pallas on TPU, jnp elsewhere)
-    cov = symmetric_downdate(state.cov, K, PHt)
+    if fuse_downdate:
+        from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
+
+        new_cov = symmetric_downdate(cov, K, PHt)
+    else:
+        new_cov = cov - K @ PHt.T
+        new_cov = 0.5 * (new_cov + new_cov.T)
+    return dx, new_cov
+
+
+def ekf_update(state: VioState, cfg: FilterConfig, H, res, r_diag) -> VioState:
+    """Standard EKF update; padded rows must have H=0, res=0, r_diag=1.
+
+    Mirrors StateHelper::EKFUpdate (StateHelper.cpp:116-197).  The reference
+    aborts on negative covariance diagonals; here we clamp-symmetrize (f32
+    on TPU) and expose the diagonal for health checks.
+    """
+    dx, cov = kalman_update_math(state.cov, H, res, r_diag)
     new_state = boxplus(state, cfg, dx)
     return new_state._replace(cov=cov)
 

@@ -73,15 +73,12 @@ def sharded_ekf_update(mesh, cfg: FilterConfig):
         cov = jax.lax.with_sharding_constraint(state.cov, cov_sharding(mesh))
         m = H.shape[0]
         H_p = jnp.zeros((m, Dp), H.dtype).at[:, :D].set(H)
-        # run the standard update math on the padded system
-        PHt = cov @ H_p.T
-        S = H_p @ PHt + jnp.diag(r_diag)
-        S = 0.5 * (S + S.T)
-        chol = jax.scipy.linalg.cho_factor(S, lower=True)
-        K = jax.scipy.linalg.cho_solve(chol, PHt.T).T
-        dx = (K @ res)[:D]
-        new_cov = cov - K @ PHt.T
-        new_cov = 0.5 * (new_cov + new_cov.T)
+        # the SAME update math as core.ekf.ekf_update, on the padded system;
+        # fuse_downdate=False keeps the downdate a plain matmul so GSPMD can
+        # row-shard it (a pallas_call would pin the operand to one device)
+        dx_p, new_cov = ekf.kalman_update_math(cov, H_p, res, r_diag,
+                                               fuse_downdate=False)
+        dx = dx_p[:D]
         new_cov = jax.lax.with_sharding_constraint(new_cov, cov_sharding(mesh))
         from open_vins_tpu.core.state import boxplus
 
