@@ -57,6 +57,13 @@ class FilterConfig(NamedTuple):
     feat_rep_aruco: str = "GLOBAL_3D"
     dt_slam_delay: float = 0.0  # seconds before first SLAM delayed init
     # (VioManagerOptions dt_slam_delay, VioManager.cpp:442)
+    slam_stack_clones: int = 3  # clone slots gathered per landmark update
+    # (newest-first).  Measurements are consumed every frame (used or
+    # chi2-rejected, UpdaterSLAM to_delete parity), so unconsumed rows only
+    # exist at the few newest clones — gathering all C slots is ~90% masked
+    # padding and dominates the SLAM update cost on TPU.  W=3 reproduces
+    # the full-window results exactly on closed-loop sims (W=2 measurably
+    # drops rows); 0 = gather the full window (exact reference stacking).
     fast_compress: bool = False  # OPT-IN normal-eq compression instead of
     # tall QR.  CAVEAT: in f32 the required Cholesky jitter (~eps*||H^T H||)
     # injects spurious information on weakly-constrained dims and corrupts

@@ -293,7 +293,10 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     per-landmark system is chi2-gated, and all consumed measurements are
     cleared from the table afterwards — success or failure — exactly like
     the reference's `to_delete = true` on every processed feature, so no
-    information is ever used twice.
+    information is ever used twice.  Because consumption happens every
+    frame, unconsumed rows only exist at the newest clone(s); the gather is
+    therefore restricted to the newest cfg.slam_stack_clones slots (static
+    shape [W·N] instead of [C·N]) — set 0 for the full-window gather.
 
     Returns (state, table, fail_count [L], n_used).
     """
@@ -301,7 +304,11 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
         return (state, table, jnp.zeros((0,), dtype=jnp.int32),
                 jnp.asarray(0, jnp.int32))
     L, C, N, D = cfg.max_slam, cfg.max_clones, cfg.num_cams, cfg.state_dim
-    O = C * N
+    # gather only the newest-W clone slots per landmark: measurements are
+    # consumed every frame, so older slots are empty padding in steady
+    # state (slam_stack_clones=0 restores the full reference-exact window)
+    W = C if cfg.slam_stack_clones <= 0 else min(cfg.slam_stack_clones, C)
+    O = W * N
     sigma = cfg.sigma_pix_slam
 
     # landmark -> table row (match by id)
@@ -309,22 +316,34 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     row = jnp.argmax(eq, axis=1)
     has_row = jnp.any(eq, axis=1) & state.slam_valid & (state.slam_id >= 0)
 
-    slot_idx = jnp.tile(
-        jnp.arange(C, dtype=jnp.int32)[:, None], (1, N)).reshape(O)
-    cam_idx = jnp.tile(
-        jnp.arange(N, dtype=jnp.int32)[None, :], (C, 1)).reshape(O)
+    from open_vins_tpu.core.state import clone_age_order
+
+    slots_w = clone_age_order(state, cfg)[:W].astype(jnp.int32)  # newest first
+    slot_idx = jnp.repeat(slots_w, N)  # [O] slot-major
+    cam_idx = jnp.tile(jnp.arange(N, dtype=jnp.int32), W)
+    # one-hot lookups (take1): dynamic gathers over the small clone dim
+    # miscompile on the axon backend
+    clone_valid_w = jax.vmap(
+        lambda s: take1(state.clone_valid.astype(jnp.float32), s) > 0.5
+    )(slot_idx)
 
     single = lrep.is_single(cfg.feat_rep_slam)
 
     def per_landmark(slot):
         r = row[slot]
+        uv_r, uvn_r, m_r = table.uv[r], table.uvn[r], table.mask[r]
+
+        def gather_slot(s):
+            return (take1(uv_r, s), take1(uvn_r, s),
+                    take1(m_r.astype(jnp.float32), s) > 0.5)
+
+        uv_w, uvn_w, m_w = jax.vmap(gather_slot)(slots_w)
         obs = uh.GatheredObs(
             clone_slot=slot_idx,
             cam=cam_idx,
-            uv=table.uv[r].reshape(O, 2),
-            uvn=table.uvn[r].reshape(O, 2),
-            mask=(table.mask[r].reshape(O) & has_row[slot]
-                  & state.clone_valid[slot_idx]),
+            uv=uv_w.reshape(O, 2),
+            uvn=uvn_w.reshape(O, 2),
+            mask=(m_w.reshape(O) & has_row[slot] & clone_valid_w),
         )
         p_G_cur = landmark_global(state, cfg, slot, fej=False)
         p_G_fej = (landmark_global(state, cfg, slot, fej=True)
