@@ -1,12 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: closed-loop sim VIO frames/s on one chip.
+"""Headline benchmark at the REFERENCE OPERATING POINT (BASELINE.md:19):
+200 pts/cam, 11 clones, 50 SLAM features, <=40 MSCKF features/update.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-
-Baseline context (BASELINE.md): the reference runs real-time on a desktop
-CPU with 20 Hz cameras — i.e. ~20 frames/s sustained, with faster-than-
-realtime serial replay (no published fps; we take 20 fps real-time as the
-reference operating point).  vs_baseline is therefore frames_per_sec / 20.
+Prints one JSON line per metric {"metric", "value", "unit", "vs_baseline"}:
+  1. ekf_update_p50_latency_us — p50 latency of one jitted dense EKF update
+     at the operating-point state dimension (BASELINE.json north-star
+     "EKF update p50 latency at speed-of-light per chip").  vs_baseline is
+     the 20 Hz frame budget (50 ms) divided by the p50 — how many full-state
+     updates fit in one real-time frame period.
+  2. sim_vio_frames_per_sec_1chip — closed-loop sim VIO frames/s on one
+     chip (LAST line = the headline metric).  The reference runs real-time
+     on a desktop CPU with 20 Hz cameras — i.e. ~20 frames/s sustained —
+     so vs_baseline = frames_per_sec / 20.
 """
 
 import json
@@ -26,18 +31,21 @@ def main():
     import numpy as np
 
     import open_vins_tpu  # noqa: F401  (forces f32 matmul precision)
+    from open_vins_tpu.core import ekf
     from open_vins_tpu.core.layout import FilterConfig
     from open_vins_tpu.models import runner
     from open_vins_tpu.models import triangulation as tri
     from open_vins_tpu.sim import simulator, trajectories
 
-    # reference real-time operating point: 200 pts, 11 clones, 20 Hz cam,
-    # on the reference's own flagship sim trajectory when available
+    # reference real-time operating point: 200 pts/cam, 11 clones, 50 SLAM
+    # features, <=40 MSCKF features per update, 20 Hz cam / 200 Hz IMU, on
+    # the reference's own flagship sim trajectory when available
+    # (config/euroc_mav/estimator_config.yaml:25-28,84).
     params = simulator.SimParams(
-        imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=100,
+        imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=200,
         map_size=2048, duration=20.0, sigma_pix=1.0, start_offset=3.0,
     )
-    cfg = FilterConfig(max_clones=11, max_slam=0, num_cams=1,
+    cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1,
                        max_msckf_in_update=40)
     tri_opts = tri.TriangulationOptions()
 
@@ -49,10 +57,47 @@ def main():
     run = runner.stage_run(sim, params)
     jax.block_until_ready(run.frames.uv)
 
-    fil = jax.jit(lambda r: runner.run_filter(cfg, tri_opts, sim, params, r))
+    fil = jax.jit(lambda r: runner.run_filter(cfg, tri_opts, sim, params, r,
+                                              max_tracks=384))
     state, outs = fil(run)
     jax.block_until_ready(state.cov)  # compile + warmup
 
+    # --- metric 1: EKF-update p50 latency at the operating-point state dim.
+    # K data-dependent updates are chained inside ONE jit (a lax.scan) so the
+    # measurement is device step latency, not host/tunnel dispatch overhead.
+    import jax.numpy as jnp
+
+    D = cfg.state_dim
+    K = 64
+    rng = np.random.default_rng(0)
+    Hs = jnp.asarray(rng.normal(size=(K, D, D)) * 0.3, jnp.float32)
+    ress = jnp.asarray(rng.normal(size=(K, D)) * 0.01, jnp.float32)
+    r_diag = jnp.ones(D, jnp.float32)
+
+    @jax.jit
+    def chain(st, Hs, ress):
+        def body(s, hr):
+            H, res = hr
+            return ekf.ekf_update(s, cfg, H, res, r_diag), s.p[0]
+        return jax.lax.scan(body, st, (Hs, ress))
+
+    out, _ = chain(state, Hs, ress)
+    jax.block_until_ready(out.cov)
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out, _ = chain(state, Hs, ress)
+        jax.block_until_ready(out.cov)
+        lat.append((time.perf_counter() - t0) / K)
+    p50_us = float(np.percentile(lat, 50)) * 1e6
+    print(json.dumps({
+        "metric": "ekf_update_p50_latency_us",
+        "value": round(p50_us, 1),
+        "unit": "us",
+        "vs_baseline": round(50_000.0 / p50_us, 1),  # updates per 50 ms frame
+    }))
+
+    # --- metric 2 (headline, LAST line): closed-loop frames/s at full load
     n_frames = simulator.n_cam_frames(params) - 1
     reps = 3
     t0 = time.time()

@@ -23,3 +23,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long closed-loop simulations (run with -m slow or no -m "
+        "filter; the fast default profile is -m 'not slow')",
+    )

@@ -39,6 +39,31 @@ def shift_image(img, dx, dy):
     return klt._bilinear(img, yy - dy, xx - dx)
 
 
+def rotate_image(img, deg):
+    """Bilinear in-plane rotation about the image center: a point at p0 in
+    img appears at p1 = R(p0 - c) + c in the output."""
+    H, W = img.shape
+    th = np.deg2rad(deg)
+    c, s = np.cos(th), np.sin(th)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=img.dtype),
+                          jnp.arange(W, dtype=img.dtype), indexing="ij")
+    # inverse warp: source = R^-1 (dest - c) + c
+    dx, dy = xx - cx, yy - cy
+    sx = c * dx + s * dy + cx
+    sy = -s * dx + c * dy + cy
+    return klt._bilinear(img, sy, sx)
+
+
+def rotate_points(pts, deg, h, w):
+    th = np.deg2rad(deg)
+    c, s = np.cos(th), np.sin(th)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    d = np.asarray(pts) - np.array([cx, cy])
+    return np.stack([c * d[:, 0] - s * d[:, 1] + cx,
+                     s * d[:, 0] + c * d[:, 1] + cy], -1)
+
+
 PARAMS = klt.KltParams(num_pyr=4, win=7, iters=12, num_features=60,
                        grid_x=8, grid_y=6)
 
@@ -82,6 +107,40 @@ class TestKlt:
         good = np.array(pts)[np.array(ok)]
         frac_left = (good[:, 0] < 150).mean() if len(good) else 0.0
         assert frac_left < 0.25, f"detections in occupied half: {frac_left}"
+
+    def test_tracks_in_plane_rotation(self):
+        """Camera-roll robustness: track through a known rotation warp and
+        compare against the analytic point motion (TrackKLT on rolling
+        cameras; the LK model is locally translational, so the angle is a
+        few degrees — one camera frame's worth of roll at 20 Hz)."""
+        img0 = texture(seed=4)
+        deg = 4.0
+        img1 = rotate_image(img0, deg)
+        pts, ok = klt.detect_grid(img0, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+                                  PARAMS, 40)
+        pts1, tok = klt.track(img0, img1, pts, PARAMS)
+        good = np.array(ok & tok)
+        assert good.sum() > 15, f"lost too many under rotation: {good.sum()}"
+        h, w = img0.shape
+        expect = rotate_points(np.array(pts), deg, h, w)
+        err = np.abs(np.array(pts1) - expect).max(axis=1)[good]
+        assert np.median(err) < 0.5, f"median rotation-flow err {np.median(err)}"
+
+    def test_tracks_illumination_change(self):
+        """Global gain+offset change between frames: the equalize stage
+        (TrackKLT.cpp:56-75 histogram-equalize role) must absorb it."""
+        img0 = texture(seed=5)
+        dx, dy = 5.0, -2.0
+        img1 = jnp.clip(1.6 * shift_image(img0, dx, dy) + 0.15, 0.0, 2.0)
+        e0, e1 = klt.equalize(img0), klt.equalize(img1)
+        pts, ok = klt.detect_grid(e0, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+                                  PARAMS, 40)
+        pts1, tok = klt.track(e0, e1, pts, PARAMS)
+        good = np.array(ok & tok)
+        assert good.sum() > 15, f"lost too many under illumination: {good.sum()}"
+        flow = np.array(pts1 - pts)[good]
+        err = np.abs(flow - np.array([dx, dy])).max(axis=1)
+        assert np.median(err) < 0.5, f"median illum-flow err {np.median(err)}"
 
     def test_jit_compiles(self):
         img0 = texture(seed=3)
