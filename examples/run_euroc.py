@@ -5,10 +5,15 @@ The serial-replay entry point (ros1_serial_msckf.cpp parity): processes the
 dataset in time order through the full pipeline and writes a TUM trajectory
 for evaluation with examples/error_singlerun.py.
 
+Initialization is routed (InertialInitializer.cpp:55-159 parity): feature
+disparity over two half-windows picks static (still platform, jerk-gated)
+vs dynamic (CPI preintegration + closed-form + MLE) initialization — the
+dynamic path seeds the filter mean AND its 15x15 covariance.
+
 Usage:
   python examples/run_euroc.py <dataset_root> \
       [--config /root/reference/config/euroc_mav/estimator_config.yaml] \
-      [--out est.txt] [--max-frames N] [--cpu]
+      [--out est.txt] [--max-frames N] [--cpu] [--stereo]
 """
 
 import argparse
@@ -27,6 +32,8 @@ def main():
     ap.add_argument("--out", default="est.txt")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--stereo", action="store_true",
+                    help="track both eyes (left-master KLT join)")
     ap.add_argument("--num-pts", type=int, default=150)
     ap.add_argument("--timing", default="", help="write per-frame timing CSV")
     args = ap.parse_args()
@@ -40,9 +47,8 @@ def main():
     import numpy as np
 
     import open_vins_tpu  # noqa: F401
-    from open_vins_tpu.core import ekf
     from open_vins_tpu.frontend import klt, tracker
-    from open_vins_tpu.init import static_init
+    from open_vins_tpu.init import background, router
     from open_vins_tpu.models import feature_table as ft
     from open_vins_tpu.models import manager
     from open_vins_tpu.models import triangulation as tri
@@ -52,88 +58,179 @@ def main():
     from open_vins_tpu.utils import native
     from open_vins_tpu.eval import traj_io
 
+    num_cams = 2 if args.stereo else 1
     vc = cfgmod.load(args.config)
-    cfg = vc.filter._replace(num_cams=1)  # mono pipeline this round
-    cam = vc.cams[0]
+    cfg = vc.filter._replace(num_cams=num_cams)
+    cams = vc.cams[:num_cams]
     tri_opts = tri.TriangulationOptions()
     kparams = klt.KltParams(num_features=args.num_pts)
 
     native.build()
-    ds = native.EurocDataset(args.root, num_cams=1)
+    ds = native.EurocDataset(args.root, num_cams=num_cams)
     imu_t, imu_w, imu_a = ds.imu()
     cam_t = ds.cam_times(0)
     t0 = imu_t[0]
-    print(f"dataset: {len(imu_t)} imu, {len(cam_t)} frames")
+    print(f"dataset: {len(imu_t)} imu, {len(cam_t)} frames, "
+          f"{num_cams} cam(s)")
 
     hub = native.SensorHub()
     for i in range(len(imu_t)):
         hub.feed_imu(imu_t[i] - t0, imu_w[i], imu_a[i])
 
-    # --- static initialization at the first still->jerk transition
-    opts = static_init.StaticInitOptions(
-        window_time=vc.init_window_time / 2.0, imu_thresh=vc.init_imu_thresh
-    )
-    init_res = None
-    init_k = None
-    for k in range(10, len(cam_t), 4):
-        tn = cam_t[k] - t0
-        m = (imu_t - t0) <= tn
-        res = static_init.try_static_init(
-            opts, jnp.asarray(imu_t - t0, jnp.float32),
-            jnp.asarray(imu_w, jnp.float32), jnp.asarray(imu_a, jnp.float32),
-            jnp.asarray(m), float(tn),
-        )
-        if bool(res.success):
-            init_res, init_k = res, k
-            break
-    if init_res is None:
-        init_k = min(40, max(1, len(cam_t) // 4))
-        print(f"static init failed — defaulting to frame {init_k} "
-              "with loose prior")
-        q0 = jnp.asarray([0.0, 0.0, 0.0, 1.0])
-        bg0 = ba0 = jnp.zeros(3)
-        prior = None
-    else:
-        q0, bg0, ba0 = init_res.q_GtoI, init_res.bg, init_res.ba
-        prior = None
-        print(f"static init at frame {init_k}")
+    calib_q = jnp.stack([lie.rot_2_quat(jnp.asarray(c.R_ItoC)) for c in cams])
+    calib_p = jnp.stack([jnp.asarray(c.p_IinC) for c in cams])
+    calib_i = jnp.stack([jnp.asarray(c.intrinsics) for c in cams])
+    zetas = [jnp.asarray(c.intrinsics) for c in cams]
+    cam_model = cams[0].model if hasattr(cams[0], "model") else "radtan"
 
-    state = manager.initialize_from_gt(
-        cfg, q0, jnp.zeros(3), jnp.zeros(3), bg0, ba0,
-        float(cam_t[init_k] - t0),
-        jnp.asarray(lie.rot_2_quat(jnp.asarray(cam.R_ItoC)))[None],
-        jnp.asarray(cam.p_IinC)[None], jnp.asarray(cam.intrinsics)[None],
-    )
     table = ft.init_table(cfg, args.num_pts * 3)
-    tstate = tracker.init_tracker(cam.resolution[1], cam.resolution[0],
-                                  args.num_pts)
-    zeta = jnp.asarray(cam.intrinsics)
-
+    tstate = tracker.init_tracker(cams[0].resolution[1],
+                                  cams[0].resolution[0], args.num_pts)
     step = jax.jit(lambda s, t, f: manager.step_frame(s, t, cfg, tri_opts, f))
     K_win = int(vc.imu.rate / 10) + 8
 
     from open_vins_tpu.utils.timing import FrameTimer
 
     timer = FrameTimer(args.timing or None)
-    n_frames = len(cam_t) if args.max_frames == 0 else min(
-        len(cam_t), init_k + 1 + args.max_frames)
-    out_t, out_p, out_q = [], [], []
-    t_prev = cam_t[init_k] - t0
-    t_start = time.time()
-    for k in range(init_k, n_frames):
-        tk = cam_t[k] - t0
-        timer.start_frame()
+
+    def track(tstate, k, first):
         img = ds.load_image(0, k)
         if img is None:
+            return tstate, None
+        if num_cams == 2:
+            img_r = ds.load_image(1, k)
+            if img_r is None:
+                return tstate, None
+            tstate, ids, uv, uvn, mask = tracker.track_frame_stereo(
+                tstate, jnp.asarray(img), jnp.asarray(img_r),
+                zetas[0], zetas[1], kparams, cam_model=cam_model,
+                first_frame=first)
+        else:
+            tstate, ids1, uv1, uvn1, mask1 = tracker.track_frame(
+                tstate, jnp.asarray(img), zetas[0], kparams,
+                cam_model=cam_model, first_frame=first)
+            ids, uv, uvn, mask = (ids1[None], uv1[None], uvn1[None],
+                                  mask1[None])
+        return tstate, (ids, uv, uvn, mask)
+
+    # ------------------------------------------------------------------
+    # routed initialization: track from the start, buffer cam0 tracks,
+    # attempt static-or-dynamic init on a sliding window
+    # ------------------------------------------------------------------
+    ropts = router.RouterOptions(
+        window_time=vc.init_window_time / 2.0, imu_thresh=vc.init_imu_thresh,
+    )
+    bg = background.BackgroundInitializer()
+    track_hist = {}  # id -> ([t], [uv px], [uvn])
+    state = None
+    init_k = None
+    n_frames = len(cam_t)
+    first = True
+    imu_t_rel = jnp.asarray(imu_t - t0, jnp.float32)
+    imu_w_j = jnp.asarray(imu_w, jnp.float32)
+    imu_a_j = jnp.asarray(imu_a, jnp.float32)
+
+    def make_attempt(tk):
+        """Snapshot the current history into a worker-thread closure."""
+        w = ropts.window_time
+        hist_px = {fid: (list(ts), list(uvs))
+                   for fid, (ts, uvs, _) in track_hist.items()}
+        d1 = router.average_disparity(
+            [v[1] for v in hist_px.values()], [v[0] for v in hist_px.values()],
+            tk - 2 * w, tk - w)
+        d2 = router.average_disparity(
+            [v[1] for v in hist_px.values()], [v[0] for v in hist_px.values()],
+            tk - w, tk)
+        dyn_input = None
+        use_static, use_dynamic = router.decide(ropts, d1, d2)
+        if use_dynamic:
+            P = 6
+            cam_rate = 1.0 / max(float(np.median(np.diff(cam_t))), 1e-3)
+            stride = max(1, int(round(2 * w * cam_rate / (P - 1))))
+            k_now = int(np.searchsorted(cam_t - t0, tk))
+            pose_ks = list(range(max(0, k_now - stride * (P - 1)),
+                                 k_now + 1, stride))
+            t_poses = [cam_t[j] - t0 for j in pose_ks][-P:]
+            hist_n = {fid: (list(ts), list(uvns))
+                      for fid, (ts, _, uvns) in track_hist.items()}
+            dyn_input = router.build_dyn_input(
+                hist_n, t_poses, hub.make_window,
+                np.asarray(cams[0].R_ItoC), np.asarray(cams[0].p_IinC),
+                K=int(vc.imu.rate * 2 * w / max(len(t_poses) - 1, 1)) + 4,
+            )
+
+        def attempt():
+            return router.try_initialize(
+                ropts, imu_t_rel, imu_w_j, imu_a_j, float(tk), d1, d2,
+                dyn_input=dyn_input)
+
+        return attempt, d1, d2
+
+    for k in range(n_frames):
+        tk = cam_t[k] - t0
+        tstate, meas = track(tstate, k, first)
+        if meas is None:
             continue
-        tstate, ids, uv, uvn, mask = tracker.track_frame(
-            tstate, jnp.asarray(img), zeta, kparams,
-            first_frame=(k == init_k))
+        first = False
+        ids, uv, uvn, mask = meas
+        ids0 = np.array(ids[0]); uv0 = np.array(uv[0])
+        uvn0 = np.array(uvn[0]); m0 = np.array(mask[0])
+        for i in np.where(m0)[0]:
+            h = track_hist.setdefault(int(ids0[i]), ([], [], []))
+            h[0].append(tk); h[1].append(uv0[i]); h[2].append(uvn0[i])
+
+        if k < 8:
+            continue
+        if bg.busy or bg.result is not None:
+            done = bg.try_to_initialize(tk, None)
+        else:
+            attempt, d1, d2 = make_attempt(tk)
+            done = bg.try_to_initialize(tk, attempt)
+        if not done:
+            continue
+        kind, res, t_init = bg.result
+        if kind == "static":
+            state = manager.initialize_from_gt(
+                cfg, res.q_GtoI, jnp.zeros(3), jnp.zeros(3), res.bg, res.ba,
+                t_init, calib_q, calib_p, calib_i)
+        else:
+            state = manager.initialize_from_dynamic(
+                cfg, res, t_init, calib_q, calib_p, calib_i)
+        # catch up over the camera frames that arrived during the attempt
+        queued = bg.queued_times(t_init)
+        state = background.catch_up(state, cfg, queued, hub.make_window,
+                                    vc.imu.rate)
+        init_k = k
+        print(f"{kind} init at t={t_init:.2f}s; caught up over "
+              f"{len(queued)} queued frames to frame {k}")
+        break
+
+    if state is None:
+        init_k = min(40, max(1, n_frames // 4))
+        print(f"initialization failed — defaulting to frame {init_k} "
+              "with loose prior")
+        state = manager.initialize_from_gt(
+            cfg, jnp.asarray([0.0, 0.0, 0.0, 1.0]), jnp.zeros(3),
+            jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
+            float(cam_t[init_k] - t0), calib_q, calib_p, calib_i)
+
+    # ------------------------------------------------------------------
+    # filtering from init_k
+    # ------------------------------------------------------------------
+    if args.max_frames:
+        n_frames = min(n_frames, init_k + 1 + args.max_frames)
+    out_t, out_p, out_q = [], [], []
+    t_prev = float(state.t)  # last initialized/caught-up state time
+    t_start = time.time()
+    for k in range(init_k + 1, n_frames):
+        tk = cam_t[k] - t0
+        timer.start_frame()
+        tstate, meas = track(tstate, k, False)
+        if meas is None:
+            continue
+        ids, uv, uvn, mask = meas
         mask.block_until_ready()
         timer.stage("tracking")
-        if k == init_k:
-            t_prev = tk
-            continue
         n, wt, ww, wa = hub.make_window(t_prev, tk, K_win)
         if n <= 0:
             continue
@@ -143,7 +240,7 @@ def main():
                           w=jnp.asarray(ww, jnp.float32),
                           a=jnp.asarray(wa, jnp.float32)),
             t_new=jnp.asarray(tk, jnp.float32),
-            ids=ids[None], uv=uv[None], uvn=uvn[None], mask=mask[None],
+            ids=ids, uv=uv, uvn=uvn, mask=mask,
         )
         state, table, diag = step(state, table, frame)
         state.cov.block_until_ready()

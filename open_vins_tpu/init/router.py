@@ -84,3 +84,63 @@ def try_initialize(opts: RouterOptions, imu_t, imu_w, imu_a, t_newest,
         if bool(res.success):
             return "dynamic", res
     return "none", None
+
+
+def build_dyn_input(track_hist, t_poses, make_window, R_ItoC, p_IinC,
+                    max_feats=50, K=32, min_obs=3):
+    """Host-side assembly of a DynInitInput from live tracker history.
+
+    The role of DynamicInitializer's feature/IMU gathering
+    (DynamicInitializer.cpp:90-180) for the streaming entry point:
+
+    - track_hist: dict id -> (list[t], list[uvn 2-vec]) accumulated from the
+      KLT tracker (cam 0).
+    - t_poses: the P ascending pose times to anchor the problem at (camera
+      frame times inside the init window).
+    - make_window: callable (t0, t1, K) -> (n, t[K+1], w[K+1,3], a[K+1,3])
+      — the native SensorHub window packer (padded by repeating the last
+      row, which the preintegration scan treats as dt=0 no-ops).
+
+    Returns a DynInitInput or None if too few multi-pose features exist.
+    """
+    t_poses = np.asarray(t_poses, dtype=np.float64)
+    P = len(t_poses)
+    feats = []
+    for fid, (ts, uvns) in track_hist.items():
+        ts = np.asarray(ts)
+        row = np.zeros((P, 2), dtype=np.float32)
+        mask = np.zeros((P,), dtype=bool)
+        for j, tp in enumerate(t_poses):
+            k = np.argmin(np.abs(ts - tp))
+            if abs(ts[k] - tp) < 1e-4:
+                row[j] = uvns[k]
+                mask[j] = True
+        if mask.sum() >= min_obs:
+            feats.append((mask.sum(), row, mask))
+    if len(feats) < 8:
+        return None
+    feats.sort(key=lambda x: -x[0])
+    feats = feats[:max_feats]
+    F = max_feats
+    uvn = np.zeros((F, P, 2), dtype=np.float32)
+    obs_mask = np.zeros((F, P), dtype=bool)
+    for i, (_, row, mask) in enumerate(feats):
+        uvn[i], obs_mask[i] = row, mask
+
+    imu_t = np.zeros((P - 1, K + 1), dtype=np.float32)
+    imu_w = np.zeros((P - 1, K + 1, 3), dtype=np.float32)
+    imu_a = np.zeros((P - 1, K + 1, 3), dtype=np.float32)
+    for i in range(P - 1):
+        n, wt, ww, wa = make_window(float(t_poses[i]), float(t_poses[i + 1]), K)
+        if n <= 0:
+            return None
+        imu_t[i], imu_w[i], imu_a[i] = wt, ww, wa
+
+    return dynamic_init.DynInitInput(
+        t_pose=jnp.asarray(t_poses, jnp.float32),
+        imu_t=jnp.asarray(imu_t), imu_w=jnp.asarray(imu_w),
+        imu_a=jnp.asarray(imu_a),
+        uvn=jnp.asarray(uvn), obs_mask=jnp.asarray(obs_mask),
+        R_ItoC=jnp.asarray(R_ItoC, jnp.float32),
+        p_IinC=jnp.asarray(p_IinC, jnp.float32),
+    )

@@ -287,6 +287,26 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
     return state, table, diag
 
 
+def propagate_and_clone(state: VioState, cfg: FilterConfig,
+                        win: ImuWindow, t_new) -> VioState:
+    """Propagate to t_new and clone, marginalizing the oldest clone if the
+    ring is full — no measurement update.
+
+    The catch-up replay primitive: the reference moves the state forward
+    over camera times queued during background initialization with
+    propagate_and_clone + marginalize_old_clone
+    (VioManagerHelper.cpp:156-163)."""
+    full = state.n_clones >= cfg.max_clones
+    slot_old = oldest_slot(state, cfg)
+    state_pre = slam.change_anchors(state, cfg, slot_old)
+    state_m = ekf.marginalize_clone(state_pre, cfg, slot_old)
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(full, a, b), state_m, state)
+    state = propagate(state, cfg, win, t_new)
+    w_hat = win.w[-1] - state.bg
+    return ekf.augment_clone(state, cfg, w_hat)
+
+
 def get_active_features(state: VioState, cfg: FilterConfig,
                         table: ft.FeatureTable,
                         tri_opts: tri.TriangulationOptions, max_feats: int):
@@ -337,3 +357,18 @@ def initialize_from_gt(cfg: FilterConfig, q, p, v, bg, ba, t,
     diag = diag.at[9:12].set(prior_std["bg"] ** 2)
     diag = diag.at[12:15].set(prior_std["ba"] ** 2)
     return ekf.set_initial_covariance(st, cfg, diag)
+
+
+def initialize_from_dynamic(cfg: FilterConfig, res, t,
+                            calib_ext_q, calib_ext_p, calib_intr) -> VioState:
+    """Seed the filter from a DynamicInitializer solution.
+
+    The dynamic-init handoff of VioManagerHelper.cpp:78-146: IMU mean from
+    the MLE, top-left 15x15 covariance from the Gauss-Newton information
+    (instead of the diagonal gt-init prior)."""
+    st = initialize_from_gt(
+        cfg, res.q_GtoI, res.p, res.v, res.bg, res.ba, t,
+        calib_ext_q, calib_ext_p, calib_intr,
+    )
+    cov = st.cov.at[:15, :15].set(res.cov15.astype(st.cov.dtype))
+    return st._replace(cov=cov)
