@@ -90,6 +90,10 @@ class FilterConfig(NamedTuple):
     zupt_max_disparity: float = 0.5
     zupt_chi2_multiplier: float = 1.0  # <= 0 disables the chi2 gate
     zupt_only_at_beginning: bool = False
+    # two-clone explicit zero-motion variant (UpdaterZeroVelocity.cpp:279-324,
+    # explicitly_enforce_zero_motion — a hard-coded bool in the reference,
+    # surfaced as configuration here)
+    zupt_explicit_motion: bool = False
 
     # ---- layout offsets -------------------------------------------------
     @property

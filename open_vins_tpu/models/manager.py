@@ -219,7 +219,9 @@ def step_frame(state: VioState, table: ft.FeatureTable, cfg: FilterConfig,
         disparity = zupt.frame_disparity(
             table, cfg, state.head, frame.ids, frame.uv, frame.mask
         )
-        zupt_state, accepted = zupt.try_zupt(
+        zupt_fn = (zupt.try_zupt_explicit if cfg.zupt_explicit_motion
+                   else zupt.try_zupt)
+        zupt_state, accepted = zupt_fn(
             state, cfg, frame.win, frame.t_new, disparity
         )
 

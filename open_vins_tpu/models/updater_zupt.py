@@ -122,6 +122,86 @@ def try_zupt(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new,
     return out, accepted
 
 
+def try_zupt_explicit(state: VioState, cfg: FilterConfig, win: ImuWindow,
+                      t_new, disparity):
+    """Two-clone explicit zero-motion variant
+    (UpdaterZeroVelocity.cpp:279-324, explicitly_enforce_zero_motion=true):
+    instead of constraining the raw IMU measurements, propagate to the frame
+    time and constrain the new pose to equal the previous clone (orientation
+    and position) with zero velocity, using the reference's fixed noise
+    (sigma_ori 1e-2 rad, sigma_pos 1e-1 m, sigma_vel 1e-1 m/s).
+
+    The reference clones at t_new, updates [q0 p0 | q1 p1 v], then
+    marginalizes the fresh clone.  A just-created clone is a perfect copy of
+    (and perfectly correlated with) the IMU pose, so updating the clone and
+    marginalizing it is algebraically identical to updating the IMU pose
+    columns directly — which is what we do: no ring-slot churn, one dense
+    update.  Gates are shared with the direct variant.
+    """
+    from open_vins_tpu.models.propagator import propagate
+    from open_vins_tpu.ops.indexing import take1
+
+    D = cfg.state_dim
+    dtype = state.cov.dtype
+
+    # shared gating on the direct whitened system (…:198-247)
+    H_g, res_g, mask_g = build_system(state, cfg, win)
+    r_mult = jnp.asarray(cfg.zupt_noise_multiplier, dtype=dtype)
+    S = H_g @ state.cov @ H_g.T + r_mult * jnp.eye(H_g.shape[0], dtype=dtype)
+    gamma = res_g @ jnp.linalg.solve(S, res_g)
+    dof = jnp.maximum(jnp.sum(mask_g.astype(jnp.int32)), 1)
+    if cfg.zupt_chi2_multiplier > 0:
+        chi2_ok = jnp.isfinite(gamma) & (
+            gamma < ekf.chi2_gate(dof) * cfg.zupt_chi2_multiplier
+        )
+    else:
+        chi2_ok = jnp.asarray(True)
+    vel_ok = jnp.linalg.norm(state.v) < cfg.zupt_max_velocity
+    disp_ok = disparity < cfg.zupt_max_disparity
+    accepted = chi2_ok & vel_ok & disp_ok & (state.n_clones > 0)
+    if cfg.zupt_only_at_beginning:
+        accepted = accepted & (~state.moved)
+
+    # propagate mean+covariance to the frame time, then zero-motion update
+    st_p = propagate(state, cfg, win, t_new)
+    q0 = take1(state.clones_q, state.head)
+    q0_fej = take1(state.clones_q_fej, state.head)
+    p0 = take1(state.clones_p, state.head)
+    R0 = lie.quat_2_rot(q0)
+    R0_fej = lie.quat_2_rot(q0_fej if cfg.use_fej else q0)
+    R1 = lie.quat_2_rot(st_p.q)
+
+    res = jnp.concatenate([
+        lie.log_so3(R0 @ R1.T),
+        p0 - st_p.p,
+        -st_p.v,
+    ]).astype(dtype)
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    H = jnp.zeros((9, D), dtype=dtype)
+    H = H.at[0:3, cfg.th_off:cfg.th_off + 3].set(-R0_fej)
+    H = H.at[3:6, cfg.p_off:cfg.p_off + 3].set(eye3)
+    H = H.at[6:9, cfg.v_off:cfg.v_off + 3].set(eye3)
+    # previous-clone columns at a traced slot: unrolled static placement
+    for s in range(cfg.max_clones):
+        off = cfg.clone_off(s)
+        Hs = (H.at[0:3, off:off + 3].set(eye3)
+               .at[3:6, off + 3:off + 6].set(-eye3))
+        H = jnp.where(state.head == s, Hs, H)
+
+    r_diag = jnp.concatenate([
+        jnp.full((3,), 1e-2**2, dtype=dtype),
+        jnp.full((6,), 1e-1**2, dtype=dtype),
+    ])
+    new_state = ekf.ekf_update(st_p, cfg, H, res, r_diag)
+    new_state = new_state._replace(t=jnp.asarray(t_new, dtype=dtype))
+    out = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(accepted, a, b), new_state, state
+    )
+    out = out._replace(moved=out.moved | (~accepted))
+    return out, accepted
+
+
 def frame_disparity(table, cfg: FilterConfig, head_slot, ids, uv, meas_mask):
     """Average pixel disparity between the incoming frame and the previous
     frame's observations (FeatureHelper::compute_disparity parity,

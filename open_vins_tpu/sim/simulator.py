@@ -315,3 +315,57 @@ def get_true_bias(sim: SimData, params: SimParams, t_rel):
         sim.bias_g_traj.shape[0] - 1,
     )
     return sim.bias_g_traj[step], sim.bias_a_traj[step]
+
+
+class PerturbedCalib(NamedTuple):
+    """Estimator-side starting calibration (truth stays inside SimData)."""
+
+    cam_intr: jax.Array  # [N, 8]
+    cam_R_ItoC: jax.Array  # [N, 3, 3]
+    cam_p_IinC: jax.Array  # [N, 3]
+    calib_dt: jax.Array  # scalar
+    imu_dw: jax.Array  # [6]
+    imu_da: jax.Array  # [6]
+    imu_tg: jax.Array  # [9]
+    imu_q_gyro: jax.Array  # [4] JPL gyro-frame rotation
+
+
+def perturb_calib(seed: int, calib, calib_dt=0.0,
+                  imu_intrinsics=False, g_sensitivity=False) -> PerturbedCalib:
+    """Seeded gaussian perturbation of the calibration the ESTIMATOR starts
+    from (Simulator::perturb_parameters parity, Simulator.cpp:209-265, with
+    the reference's per-field scales): dt 0.01 s, focal/center 1.0 px,
+    distortion 0.005, extrinsic rotation 0.001 rad, extrinsic position
+    0.01 m, Dw/Da 0.004, Tg 0.004, gyro-frame rotation 0.002 rad.
+
+    The simulator keeps the true values — run the filter with this as its
+    initial calibration (and the matching calib_* switches on) to exercise
+    online self-calibration exactly like the reference sim does.
+    """
+    cam_intr, cam_R_ItoC, cam_p_IinC = calib
+    N = cam_intr.shape[0]
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 8)
+    dt = jnp.asarray(calib_dt) + 0.01 * jax.random.normal(ks[0], ())
+    intr = cam_intr + jnp.concatenate(
+        [1.0 * jnp.ones((N, 4)), 0.005 * jnp.ones((N, 4))], axis=1
+    ) * jax.random.normal(ks[1], (N, 8))
+    w_vec = 0.001 * jax.random.normal(ks[2], (N, 3))
+    R = jax.vmap(lambda w, Rot: lie.exp_so3(w) @ Rot)(w_vec, cam_R_ItoC)
+    p = cam_p_IinC + 0.01 * jax.random.normal(ks[3], (N, 3))
+
+    dw = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0])
+    da = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0])
+    tg = jnp.zeros(9)
+    q_gyro = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    if imu_intrinsics:
+        dw = dw + 0.004 * jax.random.normal(ks[4], (6,))
+        da = da + 0.004 * jax.random.normal(ks[5], (6,))
+        w_g = 0.002 * jax.random.normal(ks[6], (3,))
+        q_gyro = lie.rot_2_quat(lie.exp_so3(w_g))
+    if g_sensitivity:
+        tg = tg + 0.004 * jax.random.normal(ks[7], (9,))
+    return PerturbedCalib(
+        cam_intr=intr, cam_R_ItoC=R, cam_p_IinC=p, calib_dt=dt,
+        imu_dw=dw, imu_da=da, imu_tg=tg, imu_q_gyro=q_gyro,
+    )

@@ -165,3 +165,47 @@ class TestSimulator:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestPerturbCalib:
+    """Simulator::perturb_parameters parity (Simulator.cpp:209-265)."""
+
+    def test_seeded_and_scaled(self):
+        params = simulator.SimParams(num_cams=2, duration=4.0)
+        calib = simulator.default_calib(params)
+        a = simulator.perturb_calib(3, calib, imu_intrinsics=True,
+                                    g_sensitivity=True)
+        b = simulator.perturb_calib(3, calib, imu_intrinsics=True,
+                                    g_sensitivity=True)
+        for x, y in zip(a, b):
+            assert np.allclose(np.array(x), np.array(y))
+        c = simulator.perturb_calib(4, calib)
+        assert not np.allclose(np.array(a.cam_intr), np.array(c.cam_intr))
+        # scales: focal/center sigma 1.0 px, ext pos 0.01 m, ext rot 1e-3
+        d_inr = np.abs(np.array(a.cam_intr - calib[0]))
+        assert d_inr[:, :4].max() < 6.0 and d_inr[:, 4:].max() < 0.03
+        assert np.abs(np.array(a.cam_p_IinC - calib[2])).max() < 0.05
+        dR = np.array(a.cam_R_ItoC[0] @ calib[1][0].T)
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        assert ang < 0.006
+        # imu intrinsics move only when asked
+        assert not np.allclose(np.array(a.imu_dw),
+                               np.array([1, 0, 0, 1, 0, 1.0]))
+        assert np.allclose(np.array(c.imu_tg), np.zeros(9))
+
+    def test_flows_into_filter_init(self):
+        from open_vins_tpu.core.layout import FilterConfig
+        from open_vins_tpu.models import manager
+        from open_vins_tpu.ops import lie as _lie
+        params = simulator.SimParams(num_cams=1, duration=4.0)
+        calib = simulator.default_calib(params)
+        pert = simulator.perturb_calib(5, calib)
+        cfg = FilterConfig(max_clones=4, num_cams=1, calib_cam_extrinsics=True)
+        st = manager.initialize_from_gt(
+            cfg, jnp.asarray([0.0, 0, 0, 1]), jnp.zeros(3), jnp.zeros(3),
+            jnp.zeros(3), jnp.zeros(3), 0.0,
+            jax.vmap(_lie.rot_2_quat)(pert.cam_R_ItoC), pert.cam_p_IinC,
+            pert.cam_intr)
+        assert np.allclose(np.array(st.calib_intr), np.array(pert.cam_intr))
+        assert np.allclose(np.array(st.calib_ext_p),
+                           np.array(pert.cam_p_IinC))

@@ -108,3 +108,61 @@ class TestZupt:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestZuptExplicit:
+    """Two-clone explicit zero-motion variant
+    (UpdaterZeroVelocity.cpp:279-324)."""
+
+    CFG_E = CFG._replace(zupt_explicit_motion=True)
+
+    def _state_with_clone(self, v=0.0):
+        from open_vins_tpu.core import ekf
+
+        st = make_state(v=v)
+        return ekf.augment_clone(st, self.CFG_E, jnp.zeros(3))
+
+    def test_stationary_accepted_pins_pose_and_velocity(self):
+        st = self._state_with_clone(v=0.05)
+        win = static_window()
+        st2, acc = zupt.try_zupt_explicit(st, self.CFG_E, win, 0.05,
+                                          jnp.asarray(0.0))
+        assert bool(acc)
+        assert float(st2.t) == pytest.approx(0.05)
+        # zero-motion constraint: pose stays at the previous clone, velocity
+        # pulled towards zero (stationary propagation + tight ori noise)
+        p0 = np.array(st.clones_p[int(st.head)])
+        assert np.linalg.norm(np.array(st2.p) - p0) < 5e-3
+        assert np.linalg.norm(np.array(st2.v)) < np.linalg.norm(
+            np.array(st.v))
+        assert np.all(np.isfinite(np.array(st2.cov)))
+
+    def test_no_clone_rejected(self):
+        st = make_state()  # head = -1, no clones yet
+        win = static_window()
+        _, acc = zupt.try_zupt_explicit(st, self.CFG_E, win, 0.05,
+                                        jnp.asarray(0.0))
+        assert not bool(acc)
+
+    def test_moving_rejected(self):
+        st = self._state_with_clone(v=1.0)
+        win = static_window()
+        _, acc = zupt.try_zupt_explicit(st, self.CFG_E, win, 0.05,
+                                        jnp.asarray(0.0))
+        assert not bool(acc)
+
+    def test_step_frame_explicit_compiles(self):
+        cfg = self.CFG_E
+        st = self._state_with_clone()
+        tb = ft.init_table(cfg, 64)
+        win = static_window()
+        frame = manager.FrameInput(
+            win=win, t_new=jnp.asarray(0.05),
+            ids=jnp.full((1, 8), -1, jnp.int32),
+            uv=jnp.zeros((1, 8, 2)), uvn=jnp.zeros((1, 8, 2)),
+            mask=jnp.zeros((1, 8), bool),
+        )
+        topts = tri.TriangulationOptions()
+        step = jax.jit(lambda s, t, f: manager.step_frame(s, t, cfg, topts, f))
+        st2, tb2, diag = step(st, tb, frame)
+        assert np.all(np.isfinite(np.array(st2.cov)))
