@@ -3,9 +3,11 @@
 Capability parity with ov_core::TrackDescriptor (TrackDescriptor.{h,cpp}:
 FAST-grid detect + ORB descriptors, knn ratio test robust_ratio_test:538,
 symmetry test :554, RANSAC).  TPU-first redesign: descriptors are
-normalized 16x16 intensity patches (zero-mean, unit-norm) so the entire
-N×N matching problem is ONE [N,256]x[256,N] matmul on the MXU, followed by
-ratio + mutual-consistency masking — no per-feature loops.
+ORB-STEERED normalized 16x16 intensity patches — each patch is sampled in
+a frame rotated to the keypoint's intensity-centroid orientation (the same
+IC_Angle steering cv::ORB uses), giving in-plane rotation invariance while
+keeping the entire N×N matching problem ONE [N,256]x[256,N] matmul on the
+MXU, followed by ratio + mutual-consistency masking — no per-feature loops.
 """
 
 from __future__ import annotations
@@ -19,26 +21,54 @@ from open_vins_tpu.frontend import klt
 
 PATCH = 16  # descriptor patch side
 DESC_DIM = PATCH * PATCH
+ORI_RADIUS = 7  # intensity-centroid disc radius (ORB HARRIS_K block scale)
 
 
-def extract(img, pts, mask):
-    """Normalized-patch descriptors at pts [N,2] -> [N, 256].
+def patch_orientation(img, pts, mask, radius=ORI_RADIUS):
+    """Keypoint orientation by intensity centroid (cv::ORB IC_Angle, the
+    steering the reference's ORB descriptors get for free): the dominant
+    direction θ = atan2(m01, m10) of the patch mass over a disc."""
+    offs = jnp.arange(-radius, radius + 1, dtype=img.dtype)
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    disc = ((ox**2 + oy**2) <= radius**2).astype(img.dtype)
 
+    def one(pt, ok):
+        patch = klt._bilinear(img, pt[1] + oy, pt[0] + ox) * disc
+        m10 = jnp.sum(patch * ox)
+        m01 = jnp.sum(patch * oy)
+        return jnp.arctan2(m01, m10) * ok.astype(img.dtype)
+
+    return jax.vmap(one)(pts, mask)
+
+
+def extract(img, pts, mask, steered=True, scale=1.0):
+    """Steered normalized-patch descriptors at pts [N,2] -> [N, 256].
+
+    The 16x16 sampling lattice is rotated to each keypoint's intensity-
+    centroid orientation (rotation invariance) and scaled by `scale`
+    (callers matching across pyramid levels pass the level ratio).
     Invalid points get zero descriptors (never match).
     """
     half = PATCH // 2
-    offs = jnp.arange(-half, half, dtype=img.dtype) + 0.5
+    offs = (jnp.arange(-half, half, dtype=img.dtype) + 0.5) * scale
     oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    if steered:
+        theta = patch_orientation(img, pts, mask)
+    else:
+        theta = jnp.zeros((pts.shape[0],), img.dtype)
 
-    def one(pt, ok):
-        patch = klt._bilinear(img, pt[1] + oy, pt[0] + ox)
+    def one(pt, th, ok):
+        c, s = jnp.cos(th), jnp.sin(th)
+        rx = c * ox - s * oy
+        ry = s * ox + c * oy
+        patch = klt._bilinear(img, pt[1] + ry, pt[0] + rx)
         v = patch.reshape(-1)
         v = v - jnp.mean(v)
         n = jnp.linalg.norm(v)
         v = v / jnp.maximum(n, 1e-6)
         return v * ok.astype(img.dtype)
 
-    return jax.vmap(one)(pts, mask)
+    return jax.vmap(one)(pts, theta, mask)
 
 
 def match(desc0, desc1, mask0, mask1, ratio=0.85, min_score=0.5):

@@ -66,3 +66,49 @@ def test_no_false_matches_on_unrelated_images():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_rotation_invariant_matching():
+    """Steered patches must survive in-plane camera roll (the reference gets
+    this from ORB steering, TrackDescriptor.cpp ORB; plain NCC patches fail
+    here)."""
+    from tests.test_frontend import texture, rotate_image, rotate_points
+    from open_vins_tpu.frontend import klt as _klt
+
+    img0 = texture(seed=9)
+    h, w = img0.shape
+    params = _klt.KltParams(num_features=40, grid_x=8, grid_y=6)
+    pts0, ok0 = _klt.detect_grid(img0, jnp.zeros((1, 2)),
+                                 jnp.zeros(1, bool), params, 40)
+    # keep points whose rotated image stays in-frame for every test angle
+    for deg in (30.0, 90.0):
+        img1 = rotate_image(img0, deg)
+        pts1 = jnp.asarray(rotate_points(np.array(pts0), deg, h, w),
+                           jnp.float32)
+        inb = ((pts1[:, 0] > 12) & (pts1[:, 0] < w - 12)
+               & (pts1[:, 1] > 12) & (pts1[:, 1] < h - 12)) & ok0
+        d0 = descriptor.extract(img0, pts0, inb)
+        d1 = descriptor.extract(img1, pts1, inb)
+        idx1, matched = descriptor.match(d0, d1, inb, inb)
+        m = np.array(matched)
+        assert m.sum() > 0.6 * np.array(inb).sum(), (
+            f"rot {deg}: only {m.sum()}/{np.array(inb).sum()} matched")
+        # matches must be the true correspondence (same index)
+        correct = np.array(idx1)[m] == np.where(m)[0]
+        assert correct.mean() > 0.95, f"rot {deg}: wrong correspondences"
+
+
+def test_scale_parameter_samples_wider():
+    """The scale hook used for cross-pyramid matching changes the lattice."""
+    from tests.test_frontend import texture
+
+    img = texture(seed=10)
+    pts = jnp.asarray([[160.0, 120.0], [100.0, 80.0]])
+    ok = jnp.ones(2, bool)
+    d1 = descriptor.extract(img, pts, ok, scale=1.0)
+    d2 = descriptor.extract(img, pts, ok, scale=2.0)
+    assert not np.allclose(np.array(d1), np.array(d2))
+    # moderate scale change is tolerated by normalized patches
+    _, matched = descriptor.match(d1, descriptor.extract(
+        img, pts, ok, scale=1.15), ok, ok)
+    assert np.array(matched).all()
