@@ -62,7 +62,7 @@ def main():
     vc = cfgmod.load(args.config)
     cfg = vc.filter._replace(num_cams=num_cams)
     cams = vc.cams[:num_cams]
-    tri_opts = tri.TriangulationOptions()
+    tri_opts = vc.tri  # fi_* yaml keys (FeatureInitializerOptions parity)
     kparams = klt.KltParams(num_features=args.num_pts)
 
     native.build()

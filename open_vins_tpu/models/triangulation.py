@@ -22,6 +22,7 @@ class TriangulationOptions(NamedTuple):
     """FeatureInitializerOptions parity (FeatureInitializerOptions.h)."""
 
     refine: bool = True
+    triangulate_1d: bool = False  # depth-only along the anchor bearing
     max_runs: int = 5
     init_lamda: float = 1e-3
     max_lamda: float = 1e10
@@ -116,6 +117,54 @@ def triangulate_linear(obs: FeatureObs, opts: TriangulationOptions):
     return p_G, valid, p_A, a
 
 
+def triangulate_linear_1d(obs: FeatureObs, opts: TriangulationOptions):
+    """Depth-only linear triangulation along the anchor bearing.
+
+    Mirrors single_triangulation_1d (FeatureInitializer.cpp:114-195): the
+    feature is constrained to p_A = d · b_A with b_A the (frozen) anchor
+    bearing; every other observation contributes the scalar normal equation
+    A += |B⊥ b_A|², b += (B⊥ b_A)·(B⊥ p_CinA) with B⊥ = skew(b_i in A).
+    This is the initializer matching the 1-dof
+    ANCHORED_INVERSE_DEPTH_SINGLE landmark representation.
+
+    Returns (p_f_global [3], valid, p_f_anchor [3], anchor_idx).
+    """
+    from open_vins_tpu.ops.indexing import take1
+
+    a = _anchor_index(obs)
+    R_GtoA = take1(obs.R_GtoC, a)
+    p_AinG = take1(obs.p_CinG, a)
+    R_AtoC = obs.R_GtoC @ R_GtoA.T  # [O,3,3]
+    p_CinA = (R_GtoA @ (obs.p_CinG - p_AinG)[..., None])[..., 0]  # [O,3]
+
+    b_C = jnp.concatenate([obs.uvn, jnp.ones_like(obs.uvn[..., :1])], axis=-1)
+    b_C = b_C / jnp.linalg.norm(b_C, axis=-1, keepdims=True)
+    b_A = (jnp.swapaxes(R_AtoC, -1, -2) @ b_C[..., None])[..., 0]  # [O,3]
+    bearing_A = take1(b_A, a)  # anchor bearing (unit)
+
+    O = obs.mask.shape[0]
+    not_anchor = obs.mask & (jnp.arange(O) != a)
+    w = not_anchor.astype(b_A.dtype)
+
+    # B⊥ b_anchor and B⊥ p_CinA as cross products (skew contraction)
+    Bb = jnp.cross(b_A, jnp.broadcast_to(bearing_A, b_A.shape))  # [O,3]
+    Bp = jnp.cross(b_A, p_CinA)  # [O,3]
+    A = jnp.sum(w * jnp.sum(Bb * Bb, axis=-1))
+    b = jnp.sum(w * jnp.sum(Bb * Bp, axis=-1))
+
+    depth = b / jnp.where(jnp.abs(A) > 1e-12, A, 1e-12)
+    p_A = depth * bearing_A
+    n_obs = jnp.sum(obs.mask)
+    valid = (
+        (n_obs >= 2)
+        & (p_A[2] > opts.min_dist)
+        & (p_A[2] < opts.max_dist)
+        & jnp.all(jnp.isfinite(p_A))
+    )
+    p_G = R_GtoA.T @ p_A + p_AinG
+    return p_G, valid, p_A, a
+
+
 def refine_gauss_newton(obs: FeatureObs, p_A, anchor_idx, opts: TriangulationOptions):
     """Damped GN in anchor inverse depth (α, β, ρ) = (x/z, y/z, 1/z).
 
@@ -181,7 +230,10 @@ def triangulate(obs: FeatureObs, opts: TriangulationOptions):
 
     Returns (p_f_global [3], valid).
     """
-    p_G, valid, p_A, a = triangulate_linear(obs, opts)
+    if opts.triangulate_1d:
+        p_G, valid, p_A, a = triangulate_linear_1d(obs, opts)
+    else:
+        p_G, valid, p_A, a = triangulate_linear(obs, opts)
     if opts.refine:
         p_A2, cost0, cost = refine_gauss_newton(obs, p_A, a, opts)
         ok = (

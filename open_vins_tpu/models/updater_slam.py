@@ -416,6 +416,55 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     return state, table, failed.astype(jnp.int32), jnp.sum(ok.astype(jnp.int32))
 
 
+def _anchor_change_terms(state: VioState, cfg: FilterConfig, slot,
+                         dying_slot, new_slot):
+    """Per-landmark anchor-change pieces: (need, lam_new, lam_new_fej,
+    row [3, D]) where `row` is the landmark's new block-row of the exact
+    covariance row map M (δλ_new = J [δλ_old; δx_Aold; δx_Anew])."""
+    rep = cfg.feat_rep_slam
+    D = cfg.state_dim
+    dtype = state.cov.dtype
+    need = take1(state.slam_valid.astype(jnp.float32), slot) > 0.5
+    need = need & (take1(state.slam_anchor_slot, slot) == dying_slot)
+    a_cam = take1(state.slam_anchor_cam, slot)
+    q_e = take1(state.calib_ext_q, a_cam)
+    p_e = take1(state.calib_ext_p, a_cam)
+
+    # Jacobians + FEJ transform at first-estimate values
+    q_of = take1(state.clones_q_fej, dying_slot)
+    p_of = take1(state.clones_p_fej, dying_slot)
+    q_nf = take1(state.clones_q_fej, new_slot)
+    p_nf = take1(state.clones_p_fej, new_slot)
+    # single-depth landmarks have no separate FEJ value — the reference's
+    # get_xyz(true) reads the current value/bearing (Landmark.cpp:53-57)
+    lam_f = take1(
+        state.slam_p if lrep.is_single(rep) else state.slam_p_fej, slot)
+    lam_new_f, J_lam, J_xo, J_xn = lrep.anchor_change_jacobians(
+        rep, lam_f, q_of, p_of, q_nf, p_nf, q_e, p_e
+    )
+    # value transform at current estimates
+    q_o = take1(state.clones_q, dying_slot)
+    p_o = take1(state.clones_p, dying_slot)
+    q_n = take1(state.clones_q, new_slot)
+    p_n = take1(state.clones_p, new_slot)
+    lam_c = take1(state.slam_p, slot)
+    p_G = lrep.to_global(rep, lam_c, q_o, p_o, q_e, p_e)
+    lam_new = lrep.from_global(rep, p_G, q_n, p_n, q_e, p_e)
+
+    loff = cfg.slam_off + 3 * slot
+    row = jnp.zeros((3, D), dtype)
+    row = jax.lax.dynamic_update_slice(row, J_lam, (loff * 0, loff))
+    row = jax.lax.dynamic_update_slice(
+        row, J_xo, (0, cfg.clones_off + 6 * dying_slot))
+    row = jax.lax.dynamic_update_slice(
+        row, J_xn, (0, cfg.clones_off + 6 * new_slot))
+    # identity row when no change is needed
+    eye_row = jax.lax.dynamic_update_slice(
+        jnp.zeros((3, D), dtype), jnp.eye(3, dtype=dtype), (loff * 0, loff))
+    row = jnp.where(need, row, eye_row)
+    return need, lam_new, lam_new_f, row
+
+
 def change_anchors(state: VioState, cfg: FilterConfig, dying_slot):
     """Re-anchor landmarks whose anchor clone is about to be marginalized
     onto the newest clone (UpdaterSLAM::change_anchors /
@@ -425,70 +474,37 @@ def change_anchors(state: VioState, cfg: FilterConfig, dying_slot):
     δx_Aold; δx_Anew]  applied as cov' = M cov Mᵀ with M = I except the
     landmark rows; Jacobians at FEJ values, value transform at current
     values; FEJ of the landmark reset to the transformed FEJ value.
+
+    TPU shape: each landmark's map touches only its own 3 rows (reading
+    shared clone columns), so ALL landmarks transform jointly — M is built
+    with one vmap and applied as two [D,D] matmuls on the MXU instead of an
+    L-sequential loop of small updates (identical algebra: row maps with
+    disjoint row support commute).
     """
     if cfg.max_slam == 0 or not lrep.is_anchored(cfg.feat_rep_slam):
         return state
-    rep = cfg.feat_rep_slam
     L = cfg.max_slam
     D = cfg.state_dim
     new_slot = state.head
     dtype = state.cov.dtype
 
-    def body(slot, st):
-        need = st.slam_valid[slot] & (
-            take1(st.slam_anchor_slot, slot) == dying_slot
-        )
-        a_cam = take1(st.slam_anchor_cam, slot)
-        q_e = take1(st.calib_ext_q, a_cam)
-        p_e = take1(st.calib_ext_p, a_cam)
+    need, lam_new, lam_new_f, rows = jax.vmap(
+        lambda s: _anchor_change_terms(state, cfg, s, dying_slot, new_slot)
+    )(jnp.arange(L))
 
-        # Jacobians + FEJ transform at first-estimate values
-        q_of = take1(st.clones_q_fej, dying_slot)
-        p_of = take1(st.clones_p_fej, dying_slot)
-        q_nf = take1(st.clones_q_fej, new_slot)
-        p_nf = take1(st.clones_p_fej, new_slot)
-        # single-depth landmarks have no separate FEJ value — the reference's
-        # get_xyz(true) reads the current value/bearing (Landmark.cpp:53-57)
-        lam_f = take1(
-            st.slam_p if lrep.is_single(rep) else st.slam_p_fej, slot)
-        lam_new_f, J_lam, J_xo, J_xn = lrep.anchor_change_jacobians(
-            rep, lam_f, q_of, p_of, q_nf, p_nf, q_e, p_e
-        )
-        # value transform at current estimates
-        q_o = take1(st.clones_q, dying_slot)
-        p_o = take1(st.clones_p, dying_slot)
-        q_n = take1(st.clones_q, new_slot)
-        p_n = take1(st.clones_p, new_slot)
-        lam_c = take1(st.slam_p, slot)
-        p_G = lrep.to_global(rep, lam_c, q_o, p_o, q_e, p_e)
-        lam_new = lrep.from_global(rep, p_G, q_n, p_n, q_e, p_e)
+    M = jnp.eye(D, dtype=dtype)
+    M = M.at[cfg.slam_off:cfg.slam_off + 3 * L].set(rows.reshape(3 * L, D))
+    cov = M @ state.cov @ M.T
+    cov = 0.5 * (cov + cov.T)
 
-        loff = cfg.slam_off + 3 * slot
-        J = jnp.zeros((3, D), dtype)
-        J = jax.lax.dynamic_update_slice(J, J_lam, (loff * 0, loff))
-        J = jax.lax.dynamic_update_slice(
-            J, J_xo, (0, cfg.clones_off + 6 * dying_slot))
-        J = jax.lax.dynamic_update_slice(
-            J, J_xn, (0, cfg.clones_off + 6 * new_slot))
-        rows = J @ st.cov
-        corner = rows @ J.T
-        cov = jax.lax.dynamic_update_slice(st.cov, rows, (loff, loff * 0))
-        cov = jax.lax.dynamic_update_slice(cov, rows.T, (loff * 0, loff))
-        cov = jax.lax.dynamic_update_slice(
-            cov, 0.5 * (corner + corner.T), (loff, loff))
-
-        st2 = st._replace(
-            cov=cov,
-            slam_p=st.slam_p.at[slot].set(lam_new),
-            slam_p_fej=st.slam_p_fej.at[slot].set(lam_new_f),
-            slam_anchor_slot=st.slam_anchor_slot.at[slot].set(
-                new_slot.astype(jnp.int32)),
-        )
-        return jax.tree_util.tree_map(
-            lambda a, b: jnp.where(need, a, b), st2, st
-        )
-
-    return jax.lax.fori_loop(0, L, body, state)
+    needc = need[:, None]
+    return state._replace(
+        cov=cov,
+        slam_p=jnp.where(needc, lam_new, state.slam_p),
+        slam_p_fej=jnp.where(needc, lam_new_f, state.slam_p_fej),
+        slam_anchor_slot=jnp.where(
+            need, new_slot.astype(jnp.int32), state.slam_anchor_slot),
+    )
 
 
 def evict(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
@@ -510,13 +526,21 @@ def evict(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     dead = state.slam_valid & (
         (~tracked) | (~seen) | (state.slam_fail >= MAX_FAIL))
 
-    def body(slot, st):
-        st_m = ekf.marginalize_slam_slot(st, cfg, slot)
-        return jax.tree_util.tree_map(
-            lambda a, b: jnp.where(dead[slot], a, b), st_m, st
-        )
-
     dead_rows = jnp.any(eq & dead[:, None], axis=0)
     table = ft.free_rows(table, dead_rows)
-    state = jax.lax.fori_loop(0, L, body, state)
-    return state._replace(slam_fail=jnp.where(dead, 0, state.slam_fail)), table
+    # batched marginalization: dropping a landmark = zeroing its covariance
+    # rows/cols (StateHelper::marginalize_slam under the static layout) —
+    # all dead slots at once with one rank-1 mask product instead of an
+    # L-sequential loop of slice updates
+    D = cfg.state_dim
+    keep = jnp.ones((D,), dtype=state.cov.dtype)
+    keep = keep.at[cfg.slam_off:cfg.slam_off + 3 * L].set(
+        jnp.repeat((~dead).astype(state.cov.dtype), 3))
+    cov = state.cov * keep[:, None] * keep[None, :]
+    state = state._replace(
+        cov=cov,
+        slam_valid=state.slam_valid & (~dead),
+        slam_id=jnp.where(dead, -1, state.slam_id),
+        slam_fail=jnp.where(dead, 0, state.slam_fail),
+    )
+    return state, table

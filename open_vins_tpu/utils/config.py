@@ -28,6 +28,7 @@ import numpy as np
 import yaml
 
 from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.models.triangulation import TriangulationOptions
 
 logger = logging.getLogger("open_vins_tpu.config")
 
@@ -121,6 +122,7 @@ class VioConfig(NamedTuple):
     init: InitConfig = InitConfig()
     output: OutputConfig = OutputConfig()
     max_slam_in_update: int = 25
+    tri: TriangulationOptions = TriangulationOptions()
 
 
 # Keys VioManagerOptions consumes that this build deliberately does not map
@@ -270,6 +272,21 @@ def load(config_path: str, warn_unknown: bool = True) -> VioConfig:
         dyn_bias_a=_vec3("init_dyn_bias_a", (0.0, 0.0, 0.0)),
     )
 
+    tri = TriangulationOptions(
+        refine=bool(get("fi_refine_features", True)),
+        triangulate_1d=bool(get("fi_triangulate_1d", False)),
+        max_runs=int(get("fi_max_runs", 5)),
+        init_lamda=float(get("fi_init_lamda", 1e-3)),
+        max_lamda=float(get("fi_max_lamda", 1e10)),
+        min_dx=float(get("fi_min_dx", 1e-6)),
+        min_dcost=float(get("fi_min_dcost", 1e-6)),
+        lam_mult=float(get("fi_lam_mult", 10.0)),
+        min_dist=float(get("fi_min_dist", 0.10)),
+        max_dist=float(get("fi_max_dist", 60.0)),
+        max_cond_number=float(get("fi_max_cond_number", 10000.0)),
+    )
+    consumed.add("fi_max_baseline")  # gate not used: masked fixed windows
+
     output = OutputConfig(
         record_timing_information=bool(
             get("record_timing_information", False)),
@@ -295,6 +312,7 @@ def load(config_path: str, warn_unknown: bool = True) -> VioConfig:
         init=init,
         output=output,
         max_slam_in_update=int(get("max_slam_in_update", 25)),
+        tri=tri,
     )
 
     if warn_unknown:
