@@ -72,6 +72,7 @@ class TestMultiCam:
 
 
 class TestWindowRefine:
+    @pytest.mark.slow
     def test_distributed_window_refinement(self):
         from open_vins_tpu.core import ekf
         from open_vins_tpu.models import feature_table as ft

@@ -106,6 +106,7 @@ class TestDynamicInit:
         assert np.all(np.isfinite(c))
         assert np.linalg.eigvalsh(c).min() > 0
 
+    @pytest.mark.slow
     def test_covariance_monte_carlo_nees(self):
         """Sampled NEES of the recovered init covariance ≈ dof.
 
@@ -164,6 +165,7 @@ class TestDynamicInit:
         # old scalar-whitening miscalibration (which sat far outside it)
         assert 2.0 < m < 30.0, f"init MC NEES {m:.1f} (dof 9): {nees}"
 
+    @pytest.mark.slow
     def test_fails_gracefully_without_features(self):
         sim = simulator.build(PARAMS, seed=12)
         inp = build_input(sim, PARAMS)
