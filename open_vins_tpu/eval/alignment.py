@@ -60,11 +60,33 @@ def align_posyaw(est_p, gt_p):
     return 1.0, R, t
 
 
-def align_trajectory(est_p, gt_p, method="se3"):
+def align_se3_single(est_p, gt_p, est_R0, gt_R0):
+    """First-pose SE(3) alignment (AlignTrajectory se3_single): the gauge is
+    fixed from the first pose pair only — R = R_g0 R_e0ᵀ, t = p_g0 − R p_e0.
+    est_R0/gt_R0 are body-to-global rotations of the first poses."""
+    R = np.asarray(gt_R0, np.float64) @ np.asarray(est_R0, np.float64).T
+    t = np.asarray(gt_p, np.float64)[0] - R @ np.asarray(est_p, np.float64)[0]
+    return 1.0, R, t
+
+
+def align_posyaw_single(est_p, gt_p, est_R0, gt_R0):
+    """First-pose position+yaw alignment (AlignTrajectory posyaw_single):
+    only the yaw of R_g0 R_e0ᵀ is kept (4-dof VIO gauge from one pose)."""
+    dR = np.asarray(gt_R0, np.float64) @ np.asarray(est_R0, np.float64).T
+    yaw = np.arctan2(dR[1, 0], dR[0, 0])
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    R = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    t = np.asarray(gt_p, np.float64)[0] - R @ np.asarray(est_p, np.float64)[0]
+    return 1.0, R, t
+
+
+def align_trajectory(est_p, gt_p, method="se3", est_R0=None, gt_R0=None):
     """Dispatch over alignment methods (AlignTrajectory::align_trajectory).
 
-    method: none | posyaw | se3 | sim3.  Returns (s, R, t) mapping
-    est -> gt frame: p_aligned = s R p_est + t.
+    method: none | posyaw | se3 | sim3 | posyaw_single | se3_single.
+    Returns (s, R, t) mapping est -> gt frame: p_aligned = s R p_est + t.
+    The *_single variants fix the gauge from the first pose pair and need
+    the first body-to-global rotations est_R0/gt_R0.
     """
     if method == "none":
         return 1.0, np.eye(3), np.zeros(3)
@@ -74,6 +96,11 @@ def align_trajectory(est_p, gt_p, method="se3"):
         return umeyama(est_p, gt_p, with_scale=False)
     if method == "sim3":
         return umeyama(est_p, gt_p, with_scale=True)
+    if method in ("posyaw_single", "se3_single"):
+        if est_R0 is None or gt_R0 is None:
+            raise ValueError(f"{method} needs est_R0/gt_R0 first rotations")
+        f = align_se3_single if method == "se3_single" else align_posyaw_single
+        return f(est_p, gt_p, est_R0, gt_R0)
     raise ValueError(f"unknown alignment method {method}")
 
 

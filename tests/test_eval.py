@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from open_vins_tpu.eval import metrics, traj_io
+from open_vins_tpu.eval import alignment
 from open_vins_tpu.eval.alignment import align_trajectory, apply_alignment
 
 
@@ -220,3 +221,43 @@ class TestEvalCLIs:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestSingleAlignment:
+    """First-pose gauge alignment (AlignTrajectory *_single variants)."""
+
+    def _traj(self, seed=0):
+        rng = np.random.default_rng(seed)
+        t = np.linspace(0, 10, 60)
+        gt_p = np.stack([np.sin(t), np.cos(t), 0.1 * t], -1)
+        # a rigid transform of gt is the estimate
+        ang = 0.7
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+        dt = np.array([1.0, -2.0, 0.5])
+        est_p = (R.T @ (gt_p - dt).T).T
+        return est_p, gt_p, R
+
+    def test_se3_single_exact_on_rigid_offset(self):
+        est_p, gt_p, R = self._traj()
+        gt_R0 = np.eye(3)
+        est_R0 = R.T @ gt_R0
+        s, Ra, ta = alignment.align_trajectory(
+            est_p, gt_p, "se3_single", est_R0=est_R0, gt_R0=gt_R0)
+        p_al, _ = alignment.apply_alignment(est_p, np.tile(np.eye(3), (1, 1, 1)), s, Ra, ta)
+        assert np.abs(p_al - gt_p).max() < 1e-9
+
+    def test_posyaw_single_exact_on_yaw_offset(self):
+        est_p, gt_p, R = self._traj()  # R is yaw-only by construction
+        gt_R0 = np.eye(3)
+        est_R0 = R.T @ gt_R0
+        s, Ra, ta = alignment.align_trajectory(
+            est_p, gt_p, "posyaw_single", est_R0=est_R0, gt_R0=gt_R0)
+        p_al, _ = alignment.apply_alignment(est_p, np.tile(np.eye(3), (1, 1, 1)), s, Ra, ta)
+        assert np.abs(p_al - gt_p).max() < 1e-9
+
+    def test_single_requires_rotations(self):
+        est_p, gt_p, _ = self._traj()
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            alignment.align_trajectory(est_p, gt_p, "se3_single")
