@@ -267,11 +267,23 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         st, n_done, ok = body(i, (st, n_done))
         return st, n_done, init_ok.at[i].set(ok)
 
-    state, n_init, init_ok = jax.lax.fori_loop(
-        0, MAX_INIT_PER_FRAME, body_wrap,
-        (state, jnp.asarray(0, dtype=jnp.int32),
-         jnp.zeros((MAX_INIT_PER_FRAME,), dtype=bool)),
-    )
+    def run_inits(st):
+        return jax.lax.fori_loop(
+            0, MAX_INIT_PER_FRAME, body_wrap,
+            (st, jnp.asarray(0, dtype=jnp.int32),
+             jnp.zeros((MAX_INIT_PER_FRAME,), dtype=bool)),
+        )
+
+    def skip_inits(st):
+        return (st, jnp.asarray(0, dtype=jnp.int32),
+                jnp.zeros((MAX_INIT_PER_FRAME,), dtype=bool))
+
+    # steady state has zero free slots / zero candidates most frames — the
+    # cond skips the whole sequential init block on-device (run_filter's
+    # scan is not vmapped, so this is a true branch, not a select)
+    any_work = jnp.any(cand_ok & tri_ok) & (n_free > 0)
+    state, n_init, init_ok = jax.lax.cond(
+        any_work, run_inits, skip_inits, state)
     # consume the initializing measurements on success (the reference marks
     # the feature to_delete after StateHelper::initialize,
     # UpdaterSLAM.cpp:237) — the stacked multi-frame update would otherwise
