@@ -31,6 +31,9 @@ def main():
                     help="write npz with est+gt+pose covariance "
                          "(save_total_state parity; input to "
                          "examples/error_simulation.py)")
+    ap.add_argument("--profile", default="",
+                    help="capture a jax.profiler (xplane) trace of the "
+                         "steady-state run into this directory")
     args = ap.parse_args()
 
     import jax
@@ -69,8 +72,15 @@ def main():
     jax.block_until_ready(state.cov)
     t_first = time.time() - t0
     t0 = time.time()
-    state, outs = fil(run)
-    jax.block_until_ready(state.cov)
+    if args.profile:
+        from open_vins_tpu.utils.profiling import trace
+        with trace(args.profile):
+            state, outs = fil(run)
+            jax.block_until_ready(state.cov)
+        print(f"profiler trace in {args.profile}")
+    else:
+        state, outs = fil(run)
+        jax.block_until_ready(state.cov)
     t_steady = time.time() - t0
     n_frames = simulator.n_cam_frames(params) - 1
     print(f"filter: first {t_first:.1f}s, steady {t_steady:.3f}s "
