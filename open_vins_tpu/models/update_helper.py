@@ -105,22 +105,41 @@ def feature_jacobian(
         H_th = dz_dpC @ dpC_dth  # [2,3]
         H_p = dz_dpC @ dpC_dp  # [2,3]
 
-        # scatter into dense rows
-        row = jnp.zeros((2, D), dtype=dtype)
-        off = cfg.clones_off + 6 * slot
-        row = jax.lax.dynamic_update_slice(row, H_th, (off * 0, off))
-        row = jax.lax.dynamic_update_slice(row, H_p, (off * 0, off + 3))
+        # place blocks by ONE-HOT CONTRACTION, never by dynamic_update_slice
+        # with a traced offset: a data-dependent scatter inside this vmap
+        # forces XLA to lower the whole per-obs batch as a sequential while
+        # loop (observed: ~45% of TPU frame time as a 440-iteration loop of
+        # [1,1,2,3] updates); one-hot products keep it a single fused batch.
+        C, N = cfg.max_clones, cfg.num_cams
+        blk = jnp.concatenate([H_th, H_p], axis=1)  # [2, 6]
+        oh_c = (jnp.arange(C) == slot).astype(dtype)  # [C]
+        clone_cols = (blk[:, None, :] * oh_c[None, :, None]).reshape(2, 6 * C)
+        oh_n = (jnp.arange(N) == cam).astype(dtype)  # [N]
         if cfg.calib_cam_extrinsics:
             # d pC / dθ_calib = ⌊R_ItoC p_FinI⌋ ; d pC / dp_calib = I
             # (FEJ point, matching the reference's dpfc_dcalib at p_FinCi_fej)
             H_cth = dz_dpC @ lie.skew(R_ItoC @ p_FinI_fej)
             H_cp = dz_dpC
-            coff = cfg.calib_ext_off + 6 * cam
-            row = jax.lax.dynamic_update_slice(row, H_cth, (coff * 0, coff))
-            row = jax.lax.dynamic_update_slice(row, H_cp, (coff * 0, coff + 3))
+            ext_blk = jnp.concatenate([H_cth, H_cp], axis=1)  # [2, 6]
+            ext_cols = (ext_blk[:, None, :] * oh_n[None, :, None]
+                        ).reshape(2, 6 * N)
+        else:
+            ext_cols = jnp.zeros((2, 6 * N), dtype=dtype)
         if cfg.calib_cam_intrinsics:
-            ioff = cfg.calib_intr_off + 8 * cam
-            row = jax.lax.dynamic_update_slice(row, J_zeta, (ioff * 0, ioff))
+            intr_cols = (J_zeta[:, None, :] * oh_n[None, :, None]
+                         ).reshape(2, 8 * N)
+        else:
+            intr_cols = jnp.zeros((2, 8 * N), dtype=dtype)
+        row = jnp.concatenate([
+            jnp.zeros((2, cfg.clones_off), dtype=dtype),  # imu block
+            clone_cols,
+            jnp.zeros((2, cfg.calib_ext_off - cfg.slam_off),
+                      dtype=dtype),  # slam + dt blocks
+            ext_cols,
+            intr_cols,
+            jnp.zeros((2, D - cfg.calib_intr_off - 8 * N),
+                      dtype=dtype),  # imu-intrinsic tail
+        ], axis=1)
 
         w = valid.astype(dtype)
         return row * w, H_f_o * w, res * w

@@ -41,6 +41,36 @@ MAX_FAIL = 2  # eviction on chi2-failure count (reference: fail_count > 1,
 MAX_INIT_PER_FRAME = 6  # landmarks initialized per frame (static bound)
 
 
+def _add_clone_block(H_x, cfg: FilterConfig, slot, add):
+    """H_x[:, clone(slot) cols] += add — by one-hot contraction.
+
+    A dynamic_update_slice with a traced column offset inside a vmap makes
+    XLA serialize the whole batch into a while loop (the axon/TPU profile
+    showed this dominating frame time); the one-hot product keeps the batch
+    fused.  add: [rows, 6]."""
+    C = cfg.max_clones
+    oh = (jnp.arange(C) == slot).astype(H_x.dtype)  # [C]
+    delta = (add[:, None, :] * oh[None, :, None]).reshape(add.shape[0], 6 * C)
+    return H_x.at[:, cfg.clones_off:cfg.clones_off + 6 * C].add(delta)
+
+
+def _set_slam_cols(H_x, cfg: FilterConfig, slot, H_lam):
+    """Place a landmark's columns at slam slot `slot` by one-hot contraction.
+
+    H_lam: [rows, k] with k in {1, 3}; k=1 lands at column 3*slot (the ρ
+    column of the 1-dof rep).  The slam block of H_x is all-zero here, so
+    add == set."""
+    L = cfg.max_slam
+    rows, k = H_lam.shape
+    if k == 3:
+        oh = (jnp.arange(L) == slot).astype(H_x.dtype)  # [L]
+        delta = (H_lam[:, None, :] * oh[None, :, None]).reshape(rows, 3 * L)
+    else:
+        oh = (jnp.arange(3 * L) == 3 * slot).astype(H_x.dtype)  # [3L]
+        delta = H_lam[:, 0:1] * oh[None, :]
+    return H_x.at[:, cfg.slam_off:cfg.slam_off + 3 * L].add(delta)
+
+
 def _anchor_of(state: VioState, slot, fej: bool):
     """Anchor clone + extrinsic values (optionally FEJ) for landmark slot."""
     a_slot = take1(state.slam_anchor_slot, slot)
@@ -99,11 +129,8 @@ def _chain_anchored(state: VioState, cfg: FilterConfig, slot, H_x, H_fg,
     H_lam = H_fg @ dpG_dlam
     if lrep.is_anchored(rep):
         dth, dp = lrep.d_pFinG_d_anchor(rep, lam_lin, q_c, q_e, p_e)
-        rows = H_fg.shape[0]
-        off = cfg.clones_off + 6 * a_slot
-        block = jax.lax.dynamic_slice(H_x, (off * 0, off), (rows, 6))
-        block = block + jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1)
-        H_x = jax.lax.dynamic_update_slice(H_x, block, (off * 0, off))
+        H_x = _add_clone_block(
+            H_x, cfg, a_slot, jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1))
     return H_x, H_lam
 
 
@@ -208,12 +235,9 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
             if lrep.is_anchored(rep_lin):
                 dth, dp = lrep.d_pFinG_d_anchor(rep_lin, lam_lin, q_cl, q_e,
                                                 p_e)
-                nrows = H_fg.shape[0]
-                off = cfg.clones_off + 6 * a_slot
-                block = jax.lax.dynamic_slice(H_x, (off * 0, off), (nrows, 6))
-                block = block + jnp.concatenate(
-                    [H_fg @ dth, H_fg @ dp], axis=1)
-                H_x = jax.lax.dynamic_update_slice(H_x, block, (off * 0, off))
+                H_x = _add_clone_block(
+                    H_x, cfg, a_slot,
+                    jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1))
         else:
             lam0 = p_f[i]
             H_lam = H_fg
@@ -364,7 +388,6 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
             state, cfg, obs, p_G_cur, p_G_fej
         )
         n_valid = jnp.sum(row_mask.astype(jnp.int32))
-        off = cfg.slam_off + 3 * slot
         if single:
             # 1-dof depth-only landmark (UpdaterSLAM.cpp:340-380): linearize
             # as the MSCKF-inverse-depth equivalent, move the ρ column into
@@ -374,8 +397,7 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
             H_x, H_lam3 = _chain_anchored(
                 state, cfg, slot, H_x, H_fg, p_G_cur,
                 rep=lrep.ANCHORED_MSCKF_INVERSE_DEPTH)
-            H_full = jax.lax.dynamic_update_slice(
-                H_x, H_lam3[:, 2:3], (off * 0, off))
+            H_full = _set_slam_cols(H_x, cfg, slot, H_lam3[:, 2:3])
             Qb, _ = jnp.linalg.qr(H_lam3[:, :2], mode="complete")
             H_full = (Qb.T @ H_full).at[:2].set(0.0)
             res = (Qb.T @ res).at[:2].set(0.0)
@@ -385,7 +407,7 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
         else:
             H_x, H_lam = _chain_anchored(state, cfg, slot, H_x, H_fg, p_G_cur)
             # place the landmark rows at its own columns
-            H_full = jax.lax.dynamic_update_slice(H_x, H_lam, (off * 0, off))
+            H_full = _set_slam_cols(H_x, cfg, slot, H_lam)
             out_mask = row_mask
             dof = jnp.maximum(n_valid, 1)
             min_rows = 1
@@ -463,17 +485,27 @@ def _anchor_change_terms(state: VioState, cfg: FilterConfig, slot,
     p_G = lrep.to_global(rep, lam_c, q_o, p_o, q_e, p_e)
     lam_new = lrep.from_global(rep, p_G, q_n, p_n, q_e, p_e)
 
-    loff = cfg.slam_off + 3 * slot
-    row = jnp.zeros((3, D), dtype)
-    row = jax.lax.dynamic_update_slice(row, J_lam, (loff * 0, loff))
-    row = jax.lax.dynamic_update_slice(
-        row, J_xo, (0, cfg.clones_off + 6 * dying_slot))
-    row = jax.lax.dynamic_update_slice(
-        row, J_xn, (0, cfg.clones_off + 6 * new_slot))
-    # identity row when no change is needed
-    eye_row = jax.lax.dynamic_update_slice(
-        jnp.zeros((3, D), dtype), jnp.eye(3, dtype=dtype), (loff * 0, loff))
-    row = jnp.where(need, row, eye_row)
+    # assemble the [3, D] row by one-hot contraction (a traced-offset
+    # dynamic_update_slice inside the change_anchors vmap serializes all L
+    # landmarks into a while loop — see _add_clone_block)
+    C, L = cfg.max_clones, cfg.max_slam
+    oh_d = (jnp.arange(C) == dying_slot).astype(dtype)  # [C]
+    oh_n = (jnp.arange(C) == new_slot).astype(dtype)
+    # overwrite semantics: the new-anchor block wins if slots collide
+    clone_blk = (oh_n[None, :, None] * J_xn[:, None, :]
+                 + (1.0 - oh_n[None, :, None]) * oh_d[None, :, None]
+                 * J_xo[:, None, :]).reshape(3, 6 * C)
+    oh_l = (jnp.arange(L) == slot).astype(dtype)  # [L]
+    # identity landmark block when no change is needed
+    lam_blk = jnp.where(need, J_lam, jnp.eye(3, dtype=dtype))
+    slam_blk = (lam_blk[:, None, :] * oh_l[None, :, None]).reshape(3, 3 * L)
+    needf = jnp.asarray(need, dtype)
+    row = jnp.concatenate([
+        jnp.zeros((3, cfg.clones_off), dtype),
+        needf * clone_blk,
+        slam_blk,
+        jnp.zeros((3, D - cfg.calib_dt_off), dtype),
+    ], axis=1)
     return need, lam_new, lam_new_f, row
 
 
