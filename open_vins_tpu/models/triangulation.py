@@ -17,6 +17,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from open_vins_tpu.ops import smallmat
+
 
 class TriangulationOptions(NamedTuple):
     """FeatureInitializerOptions parity (FeatureInitializerOptions.h)."""
@@ -100,10 +102,12 @@ def triangulate_linear(obs: FeatureObs, opts: TriangulationOptions):
         w * (jnp.swapaxes(N, -1, -2) @ (N @ p_CinA[..., None])), axis=0
     )[..., 0]
 
-    # solve + condition gate via eigenvalues of AtA (symmetric psd)
-    evals = jnp.linalg.eigvalsh(AtA)
+    # solve + condition gate via eigenvalues of AtA (symmetric psd);
+    # closed-form 3x3 routines fuse on TPU (ops/smallmat.py) where the
+    # lapack-style custom calls pay a fixed launch latency per op
+    evals = smallmat.eigvalsh3(AtA)
     cond = evals[-1] / jnp.maximum(evals[0], 1e-18)
-    p_A = jnp.linalg.solve(AtA + 1e-12 * jnp.eye(3, dtype=AtA.dtype), Atb)
+    p_A = smallmat.solve3(AtA + 1e-12 * jnp.eye(3, dtype=AtA.dtype), Atb)
 
     n_obs = jnp.sum(obs.mask)
     valid = (
@@ -205,7 +209,7 @@ def refine_gauss_newton(obs: FeatureObs, p_A, anchor_idx, opts: TriangulationOpt
         JtJ = J.T @ J
         Jtr = J.T @ rf
         A = JtJ + lam * jnp.diag(jnp.diag(JtJ))
-        dx = jnp.linalg.solve(A + 1e-12 * jnp.eye(3, dtype=A.dtype), Jtr)
+        dx = smallmat.solve3(A + 1e-12 * jnp.eye(3, dtype=A.dtype), Jtr)
         x_new = x - dx
         cost_new, _ = cost_fn(x_new)
         accept = cost_new < cost
@@ -216,9 +220,11 @@ def refine_gauss_newton(obs: FeatureObs, p_A, anchor_idx, opts: TriangulationOpt
         return (x, lam, cost), None
 
     cost0, _ = cost_fn(x0)
+    # unroll: max_runs is tiny; a device while-loop would serialize with
+    # per-iteration overhead larger than the batched GN step itself
     (x, _, cost), _ = jax.lax.scan(
         step, (x0, jnp.asarray(opts.init_lamda, dtype=p_A.dtype), cost0),
-        None, length=opts.max_runs,
+        None, length=opts.max_runs, unroll=True,
     )
     rho = jnp.where(jnp.abs(x[2]) > 1e-6, x[2], 1e-6)
     p_A_new = jnp.asarray([x[0] / rho, x[1] / rho, 1.0 / rho])

@@ -292,11 +292,14 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         return st, n_done, init_ok.at[i].set(ok)
 
     def run_inits(st):
-        return jax.lax.fori_loop(
-            0, MAX_INIT_PER_FRAME, body_wrap,
-            (st, jnp.asarray(0, dtype=jnp.int32),
-             jnp.zeros((MAX_INIT_PER_FRAME,), dtype=bool)),
-        )
+        # statically unrolled (MAX_INIT_PER_FRAME is tiny): a device while
+        # loop would serialize with per-iteration sync overhead on top of
+        # the already-sequential EKF updates
+        carry = (st, jnp.asarray(0, dtype=jnp.int32),
+                 jnp.zeros((MAX_INIT_PER_FRAME,), dtype=bool))
+        for i in range(MAX_INIT_PER_FRAME):
+            carry = body_wrap(i, carry)
+        return carry
 
     def skip_inits(st):
         return (st, jnp.asarray(0, dtype=jnp.int32),
