@@ -39,6 +39,7 @@ from open_vins_tpu.ops.indexing import take1
 MAX_FAIL = 2  # eviction on chi2-failure count (reference: fail_count > 1,
 # VioManager.cpp:476)
 MAX_INIT_PER_FRAME = 6  # landmarks initialized per frame (static bound)
+_DELAYED_INIT_COND = True  # gate the init block behind a lax.cond (A/B knob)
 
 
 def _add_clone_block(H_x, cfg: FilterConfig, slot, add):
@@ -159,12 +160,16 @@ def promotion_candidates(state: VioState, cfg: FilterConfig,
     return jnp.zeros((T,), dtype=bool).at[rows].set(take, mode="drop")
 
 
-def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
-                 tri_opts: tri.TriangulationOptions, gather_fn):
-    """Promote up to MAX_INIT_PER_FRAME mature tracks into free SLAM slots.
+def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
+                             table: ft.FeatureTable,
+                             tri_opts: tri.TriangulationOptions, gather_fn):
+    """Sequential (one-landmark-at-a-time) delayed init — the literal analog
+    of the reference's per-feature StateHelper::initialize loop.
 
-    gather_fn(state, cfg, table, rows) -> (tri_obs, gobs)  (manager's
-    gather_feature_obs, passed in to avoid a circular import).
+    Kept as the equivalence ORACLE for the joint batched `delayed_init`
+    below (tests/test_slam.py::test_joint_init_matches_sequential) and as an
+    A/B fallback (_DELAYED_INIT_JOINT=False); the joint path produces the
+    same posterior because independent linear-Gaussian updates commute.
     """
     if cfg.max_slam == 0:
         return state, table, jnp.asarray(0, dtype=jnp.int32)
@@ -308,9 +313,12 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     # steady state has zero free slots / zero candidates most frames — the
     # cond skips the whole sequential init block on-device (run_filter's
     # scan is not vmapped, so this is a true branch, not a select)
-    any_work = jnp.any(cand_ok & tri_ok) & (n_free > 0)
-    state, n_init, init_ok = jax.lax.cond(
-        any_work, run_inits, skip_inits, state)
+    if _DELAYED_INIT_COND:
+        any_work = jnp.any(cand_ok & tri_ok) & (n_free > 0)
+        state, n_init, init_ok = jax.lax.cond(
+            any_work, run_inits, skip_inits, state)
+    else:
+        state, n_init, init_ok = run_inits(state)
     # consume the initializing measurements on success (the reference marks
     # the feature to_delete after StateHelper::initialize,
     # UpdaterSLAM.cpp:237) — the stacked multi-frame update would otherwise
@@ -318,6 +326,209 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     T = table.ids.shape[0]
     consumed_rows = jnp.zeros((T,), dtype=bool).at[rows].set(
         init_ok, mode="drop")
+    table = table._replace(mask=table.mask & ~consumed_rows[:, None, None])
+    return state, table, n_init
+
+
+_DELAYED_INIT_JOINT = True  # joint batched init; sequential path = oracle
+
+
+def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
+                 tri_opts: tri.TriangulationOptions, gather_fn):
+    """Promote up to MAX_INIT_PER_FRAME mature tracks into free SLAM slots —
+    JOINT BATCHED delayed initialization.
+
+    StateHelper::initialize parity (UpdaterSLAM.cpp:100-240) with a TPU
+    twist: each candidate's stacked system is QR-split into an invertible
+    landmark part + leftover state rows (batched over candidates), then ALL
+    accepted landmarks enter the covariance in one joint insertion — the
+    [F·k, F·k] grammian carries the exact landmark-landmark cross blocks
+    the reference's sequential loop accumulates through its running P — and
+    every leftover row feeds ONE stacked EKF update.  Independent linearized
+    Gaussian updates commute, so the joint posterior equals the sequential
+    loop's (tests/test_slam.py pins it against `_delayed_init_sequential`);
+    the one semantic deviation: chi2 gates evaluate against the pre-init
+    covariance instead of the running one.
+
+    gather_fn(state, cfg, table, rows) -> (tri_obs, gobs)  (manager's
+    gather_feature_obs, passed in to avoid a circular import).
+    """
+    if not _DELAYED_INIT_JOINT:
+        return _delayed_init_sequential(state, cfg, table, tri_opts,
+                                        gather_fn)
+    if cfg.max_slam == 0:
+        return state, table, jnp.asarray(0, dtype=jnp.int32)
+    from open_vins_tpu.ops import smallmat
+
+    L = cfg.max_slam
+    D = cfg.state_dim
+    F = MAX_INIT_PER_FRAME
+    sigma = cfg.sigma_pix_slam
+    dtype = state.cov.dtype
+    rep = cfg.feat_rep_slam
+    single = lrep.is_single(rep)
+    rep_lin = lrep.ANCHORED_MSCKF_INVERSE_DEPTH if single else rep
+    k = 1 if single else 3
+
+    delay_ok = (state.t - state.t_init) >= cfg.dt_slam_delay
+    window_full = (state.n_clones >= cfg.max_clones) & delay_ok
+    fullw = ft.full_window_rows(table, state.n_clones, cfg) & window_full
+    already = slam_row_mask(state, table)
+    cand = fullw & (~already)
+    n_free = jnp.sum((~state.slam_valid).astype(jnp.int32))
+
+    score = jnp.where(cand, ft.row_obs_counts(table).astype(jnp.float32), -1.0)
+    _, rows = jax.lax.top_k(score, F)
+    cand_ok = score[rows] > 0
+
+    tri_obs, gobs = gather_fn(state, cfg, table, rows)
+    p_f, tri_ok = tri.triangulate_batch(tri_obs, tri_opts)
+    tri_ok = tri_ok & jnp.all(jnp.isfinite(p_f), axis=-1)
+    p_f = jnp.where(tri_ok[:, None], p_f, jnp.asarray([0.0, 0.0, 1.0]))
+
+    feat_ids = jnp.where(
+        rows < table.ids.shape[0],
+        table.ids[jnp.minimum(rows, table.ids.shape[0] - 1)], -1)
+    free_order = jnp.sort(jnp.where(~state.slam_valid, jnp.arange(L), L))
+
+    def build(i):
+        """Rotated init system of candidate i (pre-frame linearization)."""
+        obs_i = jax.tree_util.tree_map(lambda a: a[i], gobs)
+        H_x, H_fg, res, row_mask = uh.feature_jacobian(
+            state, cfg, obs_i, p_f[i], p_f[i])
+        extra_ok = jnp.asarray(True)
+        if lrep.needs_lam_jacobian(rep_lin):
+            a_slot = state.head
+            q_c = take1(state.clones_q, a_slot)
+            p_c = take1(state.clones_p, a_slot)
+            q_e = state.calib_ext_q[0]
+            p_e = state.calib_ext_p[0]
+            lam0 = lrep.from_global(rep_lin, p_f[i], q_c, p_c, q_e, p_e)
+            if cfg.use_fej and lrep.is_anchored(rep_lin):
+                q_cl = take1(state.clones_q_fej, a_slot)
+                p_cl = take1(state.clones_p_fej, a_slot)
+                lam_lin = lrep.from_global(rep_lin, p_f[i], q_cl, p_cl,
+                                           q_e, p_e)
+            else:
+                q_cl = q_c
+                lam_lin = lam0
+            dpG_dlam = lrep.d_pFinG_d_lam(rep_lin, lam_lin, q_cl, q_e)
+            H_lam = H_fg @ dpG_dlam
+            if lrep.is_anchored(rep_lin):
+                dth, dp = lrep.d_pFinG_d_anchor(rep_lin, lam_lin, q_cl, q_e,
+                                                p_e)
+                H_x = _add_clone_block(
+                    H_x, cfg, a_slot,
+                    jnp.concatenate([H_fg @ dth, H_fg @ dp], axis=1))
+        else:
+            lam0 = p_f[i]
+            H_lam = H_fg
+        n_valid = jnp.sum(row_mask.astype(jnp.int32))
+        if single:
+            # bearing columns nullspace-projected out; rho is the 1-dof state
+            h_rho = H_lam[:, 2:3]
+            Qb, _ = jnp.linalg.qr(
+                jnp.where(row_mask[:, None], H_lam[:, :2], 0.0),
+                mode="complete")
+            H_x_m = (Qb.T @ jnp.where(row_mask[:, None], H_x, 0.0)
+                     ).at[:2].set(0.0)
+            H_lam_m = (Qb.T @ jnp.where(row_mask[:, None], h_rho, 0.0)
+                       ).at[:2].set(0.0)
+            res_m = (Qb.T @ jnp.where(row_mask, res, 0.0)).at[:2].set(0.0)
+            lam0 = jnp.stack([lam0[2], lam0[0], lam0[1]])
+            extra_ok = extra_ok & (jnp.linalg.norm(H_lam_m) > 1e-6)
+        else:
+            H_lam_m = jnp.where(row_mask[:, None], H_lam, 0.0)
+            H_x_m = jnp.where(row_mask[:, None], H_x, 0.0)
+            res_m = jnp.where(row_mask, res, 0.0)
+        Q, R_full = jnp.linalg.qr(H_lam_m, mode="complete")
+        Hx_rot = Q.T @ H_x_m
+        res_rot = Q.T @ res_m
+        return (lam0, R_full[:k, :k], Hx_rot[:k], res_rot[:k],
+                Hx_rot[k:], res_rot[k:], n_valid, extra_ok)
+
+    (lam0, R1, Hx1, res1, H_up, res_up, n_valid, extra_ok) = jax.vmap(build)(
+        jnp.arange(F))
+
+    ok = cand_ok & tri_ok & extra_ok
+    # chi2 gate on the leftover rows (pre-init covariance)
+    gamma = jax.vmap(lambda H, r: uh.chi2_statistic(state.cov, H, r, sigma))(
+        H_up, res_up)
+    dof = jnp.maximum(n_valid - 3, 1)
+    ok = ok & jnp.isfinite(gamma) & (
+        gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier_slam)
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    ok = ok & (rank < n_free)
+    slot = free_order[jnp.clip(jnp.where(ok, rank, 0), 0, L - 1)]
+    slot_eff = jnp.where(ok, slot, L)  # L = out-of-range -> dropped
+
+    okf = ok.astype(dtype)
+    # R1^{-1}, zeroed for rejected candidates (their blocks vanish)
+    if single:
+        r1 = R1[:, 0, 0]
+        r1_inv = jnp.where(jnp.abs(r1) > 1e-9, 1.0 / r1, 0.0)
+        R1inv = (r1_inv * okf)[:, None, None]
+    else:
+        R1inv = smallmat.inv_upper3(R1) * okf[:, None, None]
+
+    # joint covariance insertion (StateHelper.cpp:484-577 math, stacked):
+    #   P_fX = -R1inv Hx1 P ;  P_FF = R1inv (Hx1 P Hx1^T + sigma^2 I) R1inv^T
+    Hx1_ok = Hx1 * okf[:, None, None]  # [F,k,D]
+    X = Hx1_ok.reshape(F * k, D)
+    HxP = X @ state.cov  # [F*k, D]
+    eye_F = jnp.eye(F, dtype=dtype)
+    Bflat = (eye_F[:, None, :, None] * R1inv[:, :, None, :]).reshape(
+        F * k, F * k)  # block-diagonal of the R1 inverses
+    G = HxP @ X.T + sigma ** 2 * jnp.eye(F * k, dtype=dtype)
+    P_FF = Bflat @ G @ Bflat.T
+    P_fX = -(Bflat @ HxP)  # [F*k, D]
+
+    col = (3 * slot_eff)[:, None] + jnp.arange(k)[None, :]  # [F,k]
+    E = (jnp.arange(3 * L)[None, :]
+         == col.reshape(F * k)[:, None]).astype(dtype)  # [Fk, 3L]
+    rows_add = E.T @ P_fX  # [3L, D]
+    so = cfg.slam_off
+    cov = state.cov
+    cov = cov.at[so:so + 3 * L, :].add(rows_add)
+    cov = cov.at[:, so:so + 3 * L].add(rows_add.T)
+    # P_fX's columns at the new slots are zero (free-slot covariance rows
+    # are zero), so the corner gets exactly P_FF with no double count
+    cov = cov.at[so:so + 3 * L, so:so + 3 * L].add(E.T @ P_FF @ E)
+
+    # mean correction per landmark: dlam = R1inv res1 (rho-only for single)
+    df = jax.vmap(lambda B, r: B @ r)(R1inv, res1)  # [F,k]
+    if single:
+        lam_new = lam0.at[:, 0].add(df[:, 0])
+    else:
+        lam_new = lam0 + df
+
+    head_i32 = state.head.astype(jnp.int32)
+    state = state._replace(
+        cov=0.5 * (cov + cov.T),
+        slam_p=state.slam_p.at[slot_eff].set(lam_new, mode="drop"),
+        slam_p_fej=state.slam_p_fej.at[slot_eff].set(lam0, mode="drop"),
+        slam_id=state.slam_id.at[slot_eff].set(
+            feat_ids.astype(jnp.int32), mode="drop"),
+        slam_valid=state.slam_valid.at[slot_eff].set(True, mode="drop"),
+        slam_anchor_slot=state.slam_anchor_slot.at[slot_eff].set(
+            head_i32, mode="drop"),
+        slam_anchor_cam=state.slam_anchor_cam.at[slot_eff].set(
+            0, mode="drop"),
+    )
+
+    # one stacked EKF update over every accepted candidate's leftover rows
+    keep = okf[:, None, None]
+    H_up_all = (H_up * keep).reshape(-1, D)
+    res_up_all = (res_up * keep[..., 0]).reshape(-1)
+    r_diag = jnp.full((H_up_all.shape[0],), sigma ** 2, dtype=dtype)
+    any_ok = jnp.any(ok)
+    new_state = ekf.ekf_update(state, cfg, H_up_all, res_up_all, r_diag)
+    state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(any_ok, a, b), new_state, state)
+
+    n_init = jnp.sum(ok.astype(jnp.int32))
+    T = table.ids.shape[0]
+    consumed_rows = jnp.zeros((T,), dtype=bool).at[rows].set(ok, mode="drop")
     table = table._replace(mask=table.mask & ~consumed_rows[:, None, None])
     return state, table, n_init
 

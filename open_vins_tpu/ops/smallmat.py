@@ -56,6 +56,33 @@ def solve3(A, b, eps: float = 1e-12):
     return jnp.stack([x1, x2, x3], axis=-1)
 
 
+def inv_upper3(U, eps: float = 1e-12):
+    """Inverse of upper-triangular [..., 3, 3] U, closed form.
+
+    Diagonals are clamped at eps (same conditioning convention the QR-based
+    delayed-init used with its 1e-12 jitter); callers gate degenerate
+    systems separately.
+    """
+    def _safe(d):
+        s = jnp.where(d < 0, -1.0, 1.0)
+        return jnp.where(jnp.abs(d) < eps, s * eps, d)
+
+    u11 = _safe(U[..., 0, 0])
+    u22 = _safe(U[..., 1, 1])
+    u33 = _safe(U[..., 2, 2])
+    u12, u13, u23 = U[..., 0, 1], U[..., 0, 2], U[..., 1, 2]
+    v11, v22, v33 = 1.0 / u11, 1.0 / u22, 1.0 / u33
+    v12 = -u12 * v11 * v22
+    v23 = -u23 * v22 * v33
+    v13 = (u12 * u23 - u13 * u22) * v11 * v22 * v33
+    z = jnp.zeros_like(v11)
+    return jnp.stack([
+        jnp.stack([v11, v12, v13], axis=-1),
+        jnp.stack([z, v22, v23], axis=-1),
+        jnp.stack([z, z, v33], axis=-1),
+    ], axis=-2)
+
+
 def eigvalsh3(A):
     """Eigenvalues (ascending, [..., 3]) of symmetric [..., 3, 3] A.
 

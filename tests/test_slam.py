@@ -90,5 +90,43 @@ class TestSlam:
         assert m > 0.5, f"pose NEES suspiciously low: {m:.2f}"
 
 
+def test_joint_init_matches_sequential(monkeypatch):
+    """The joint batched delayed init must reproduce the sequential
+    (reference-ordered) loop: same landmark sets and matching trajectory +
+    covariance over a closed loop.  Chi2 gates are loosened so both paths
+    accept identical candidate sets (gate inputs differ by design: joint
+    gates on the pre-init covariance)."""
+    from open_vins_tpu.models import updater_slam as us
+
+    params = PARAMS._replace(duration=5.0, num_pts=30, map_size=512)
+    cfg = CFG._replace(max_slam=8, chi2_multiplier_slam=1e6)
+    sim = simulator.build(params, seed=3)
+    run = runner.stage_run(sim, params)
+
+    outs = {}
+    for joint in (True, False):
+        monkeypatch.setattr(us, "_DELAYED_INIT_JOINT", joint)
+        state, o = jax.jit(
+            lambda r: runner.run_filter(cfg, TRI, sim, params, r)
+        )(run)
+        outs[joint] = (jax.tree_util.tree_map(np.array, state),
+                       np.array(o[1]))
+    st_j, p_j = outs[True]
+    st_s, p_s = outs[False]
+    # same landmark population
+    np.testing.assert_array_equal(st_j.slam_valid, st_s.slam_valid)
+    assert set(np.array(st_j.slam_id)[st_j.slam_valid].tolist()) == set(
+        np.array(st_s.slam_id)[st_s.slam_valid].tolist())
+    # trajectories agree to accumulated f32 noise + the documented
+    # linearization-point deviation (sequential re-linearizes candidate i+1
+    # at candidate i's posterior; joint linearizes all at the frame prior)
+    assert np.max(np.linalg.norm(p_j - p_s, axis=1)) < 5e-3
+    d_j = np.diagonal(st_j.cov)
+    d_s = np.diagonal(st_s.cov)
+    mask = d_s > 1e-10
+    rel = np.abs(d_j[mask] - d_s[mask]) / np.maximum(d_s[mask], 1e-10)
+    assert np.max(rel) < 0.05, f"cov diag rel diff {np.max(rel):.3f}"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
