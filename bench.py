@@ -8,7 +8,11 @@ Prints one JSON line per metric {"metric", "value", "unit", "vs_baseline"}:
      "EKF update p50 latency at speed-of-light per chip").  vs_baseline is
      the 20 Hz frame budget (50 ms) divided by the p50 — how many full-state
      updates fit in one real-time frame period.
-  2. sim_vio_frames_per_sec_1chip — closed-loop sim VIO frames/s on one
+  2. sim_vio_ensemble4_agg_frames_per_sec_1chip — aggregate frames/s of 4
+     independent vmapped filter streams on one chip (the batch-scaling
+     axis: small-matrix latency amortizes across streams).  vs_baseline =
+     aggregate / 20.
+  3. sim_vio_frames_per_sec_1chip — closed-loop sim VIO frames/s on one
      chip (LAST line = the headline metric).  The reference runs real-time
      on a desktop CPU with 20 Hz cameras — i.e. ~20 frames/s sustained —
      so vs_baseline = frames_per_sec / 20.
@@ -97,8 +101,35 @@ def main():
         "vs_baseline": round(50_000.0 / p50_us, 1),  # updates per 50 ms frame
     }))
 
-    # --- metric 2 (headline, LAST line): closed-loop frames/s at full load
+    # --- metric 2: aggregate throughput of a 4-stream vmapped ensemble
+    # (batch axis on one chip; saturates ~B=8 — measured 710/747 agg fps at
+    # B=4/8 — B=4 keeps the extra compile modest)
     n_frames = simulator.n_cam_frames(params) - 1
+    B = 4
+    brun = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), run)
+    fil_ens = jax.jit(jax.vmap(
+        lambda r: runner.run_filter(cfg, tri_opts, sim, params, r,
+                                    max_tracks=384)))
+    bstate, bouts = fil_ens(brun)
+    jax.block_until_ready(bstate.cov)  # compile + warmup
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        bstate, bouts = fil_ens(brun)
+    jax.block_until_ready(bstate.cov)
+    agg_fps = B * n_frames / ((time.time() - t0) / reps)
+    ps0 = np.array(bouts[1][0])
+    rmse0 = float(np.sqrt(((ps0 - np.array(run.gt_p)[1:]) ** 2).sum(1).mean()))
+    ens_healthy = np.isfinite(np.array(bstate.cov)).all() and rmse0 < 0.3
+    print(json.dumps({
+        "metric": "sim_vio_ensemble4_agg_frames_per_sec_1chip",
+        "value": round(agg_fps, 1) if ens_healthy else 0.0,
+        "unit": "frames/s",
+        "vs_baseline": round(agg_fps / 20.0, 2) if ens_healthy else 0.0,
+    }))
+
+    # --- metric 3 (headline, LAST line): closed-loop frames/s at full load
     reps = 3
     t0 = time.time()
     for _ in range(reps):

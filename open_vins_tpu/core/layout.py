@@ -84,6 +84,12 @@ class FilterConfig(NamedTuple):
     chi2_multiplier_slam: float = 1.0
     sigma_pix_aruco: float = 1.0
     chi2_multiplier_aruco: float = 1.0
+    # aruco id space: feature ids <= 4*num_aruco_tags are tag corners
+    # (TrackAruco's "featid = 4*tag+corner" contract; the KLT/descriptor
+    # trackers allocate natural ids above this, TrackBase currid init).
+    # Aruco landmarks update with sigma_pix_aruco / chi2_multiplier_aruco
+    # and get SLAM-promotion priority (the reference always promotes them).
+    num_aruco_tags: int = 0
     # ZUPT options (UpdaterZeroVelocity ctor args / zupt_* yaml keys)
     zupt_noise_multiplier: float = 10.0
     zupt_max_velocity: float = 0.25

@@ -34,13 +34,18 @@ class TrackerState(NamedTuple):
     key: jax.Array  # PRNG for RANSAC
 
 
-def init_tracker(height, width, num_pts, seed=0):
+def init_tracker(height, width, num_pts, seed=0, num_aruco_tags=0):
+    """`num_aruco_tags` reserves ids [0, 4*tags] for aruco tag corners —
+    natural features allocate above (TrackBase's `currid = 4*max_aruco + 1`
+    contract, TrackBase.h:117)."""
     return TrackerState(
         prev_img=jnp.zeros((height, width), dtype=jnp.float32),
         pts=jnp.zeros((num_pts, 2), dtype=jnp.float32),
         ids=jnp.full((num_pts,), -1, dtype=jnp.int32),
         valid=jnp.zeros((num_pts,), dtype=bool),
-        next_id=jnp.asarray(0, dtype=jnp.int32),
+        next_id=jnp.asarray(
+            4 * num_aruco_tags + 1 if num_aruco_tags > 0 else 0,
+            dtype=jnp.int32),
         key=jax.random.PRNGKey(seed),
     )
 

@@ -72,6 +72,14 @@ def _set_slam_cols(H_x, cfg: FilterConfig, slot, H_lam):
     return H_x.at[:, cfg.slam_off:cfg.slam_off + 3 * L].add(delta)
 
 
+def _aruco_landmark_mask(cfg: FilterConfig, ids):
+    """ids in [0, 4*num_aruco_tags] are aruco tag corners (TrackAruco's
+    featid = 4*tag + corner contract); natural features allocate above."""
+    if cfg.num_aruco_tags <= 0:
+        return jnp.zeros(jnp.shape(ids), dtype=bool)
+    return (ids >= 0) & (ids <= 4 * cfg.num_aruco_tags)
+
+
 def _anchor_of(state: VioState, slot, fej: bool):
     """Anchor clone + extrinsic values (optionally FEJ) for landmark slot."""
     a_slot = take1(state.slam_anchor_slot, slot)
@@ -154,6 +162,9 @@ def promotion_candidates(state: VioState, cfg: FilterConfig,
     n_free = jnp.sum((~state.slam_valid).astype(jnp.int32))
     budget = jnp.minimum(n_free, MAX_INIT_PER_FRAME)
     score = jnp.where(cand, ft.row_obs_counts(table).astype(jnp.float32), -1.0)
+    # aruco tags promote first (the reference always makes them SLAM)
+    score = jnp.where(cand & _aruco_landmark_mask(cfg, table.ids),
+                      score + 1e4, score)
     T = table.ids.shape[0]
     _, rows = jax.lax.top_k(score, min(MAX_INIT_PER_FRAME, T))
     take = (score[rows] > 0) & (jnp.arange(rows.shape[0]) < budget)
@@ -378,6 +389,8 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     n_free = jnp.sum((~state.slam_valid).astype(jnp.int32))
 
     score = jnp.where(cand, ft.row_obs_counts(table).astype(jnp.float32), -1.0)
+    score = jnp.where(cand & _aruco_landmark_mask(cfg, table.ids),
+                      score + 1e4, score)
     _, rows = jax.lax.top_k(score, F)
     cand_ok = score[rows] > 0
 
@@ -423,6 +436,14 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         else:
             lam0 = p_f[i]
             H_lam = H_fg
+        if cfg.num_aruco_tags > 0:
+            # aruco candidates carry sigma_pix_aruco: whiten their rows so
+            # the seeding/leftover math stays isotropic at sigma (exact)
+            c = jnp.where(_aruco_landmark_mask(cfg, feat_ids[i]),
+                          sigma / cfg.sigma_pix_aruco, 1.0)
+            H_x = H_x * c
+            H_lam = H_lam * c
+            res = res * c
         n_valid = jnp.sum(row_mask.astype(jnp.int32))
         if single:
             # bearing columns nullspace-projected out; rho is the 1-dof state
@@ -455,8 +476,9 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     gamma = jax.vmap(lambda H, r: uh.chi2_statistic(state.cov, H, r, sigma))(
         H_up, res_up)
     dof = jnp.maximum(n_valid - 3, 1)
-    ok = ok & jnp.isfinite(gamma) & (
-        gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier_slam)
+    mult = jnp.where(_aruco_landmark_mask(cfg, feat_ids),
+                     cfg.chi2_multiplier_aruco, cfg.chi2_multiplier_slam)
+    ok = ok & jnp.isfinite(gamma) & (gamma < ekf.chi2_gate(dof) * mult)
     rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
     ok = ok & (rank < n_free)
     slot = free_order[jnp.clip(jnp.where(ok, rank, 0), 0, L - 1)]
@@ -625,12 +647,23 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
             out_mask = row_mask
             dof = jnp.maximum(n_valid, 1)
             min_rows = 1
+        # aruco landmarks carry their own noise/gate (the reference runs a
+        # second UpdaterSLAM instance for them): whiten the rows by
+        # sigma/sigma_aruco so the stacked system stays isotropic at sigma
+        # (exactly equivalent to per-row sigma_aruco noise)
+        mult = cfg.chi2_multiplier_slam
+        if cfg.num_aruco_tags > 0:
+            is_ar = _aruco_landmark_mask(cfg, take1(state.slam_id, slot))
+            c = jnp.where(is_ar, sigma / cfg.sigma_pix_aruco, 1.0)
+            H_full = H_full * c
+            res = res * c
+            mult = jnp.where(is_ar, cfg.chi2_multiplier_aruco, mult)
         gamma = uh.chi2_statistic(state.cov, H_full, res, sigma)
         ok = (
             has_row[slot]
             & (n_valid >= min_rows)
             & jnp.isfinite(gamma)
-            & (gamma < ekf.chi2_gate(dof) * cfg.chi2_multiplier_slam)
+            & (gamma < ekf.chi2_gate(dof) * mult)
         )
         return H_full, res, out_mask, row_mask, ok
 

@@ -225,6 +225,8 @@ def load(config_path: str, warn_unknown: bool = True) -> VioConfig:
         sigma_pix_aruco=float(get("up_aruco_sigma_px", sigma_msckf)),
         chi2_multiplier_aruco=float(
             get("up_aruco_chi2_multipler", chi2_msckf)),
+        num_aruco_tags=(int(get("num_aruco", 1024))
+                        if bool(get("use_aruco", False)) else 0),
         zupt_noise_multiplier=float(get("zupt_noise_multiplier", 10.0)),
         zupt_max_velocity=float(get("zupt_max_velocity", 0.25)),
         zupt_max_disparity=float(get("zupt_max_disparity", 0.5)),
