@@ -85,7 +85,8 @@ def main():
 
     table = ft.init_table(cfg, args.num_pts * 3)
     tstate = tracker.init_tracker(cams[0].resolution[1],
-                                  cams[0].resolution[0], args.num_pts)
+                                  cams[0].resolution[0], args.num_pts,
+                                  num_aruco_tags=cfg.num_aruco_tags)
     step = jax.jit(lambda s, t, f: manager.step_frame(s, t, cfg, tri_opts, f))
     K_win = int(vc.imu.rate / 10) + 8
 
