@@ -262,8 +262,17 @@ def chi2_statistic(state_cov, H, res, sigma):
     """γ = resᵀ (H P Hᵀ + σ²I)⁻¹ res for one feature's projected system.
 
     Mirrors the UpdaterMSCKF chi2 gate (UpdaterMSCKF.cpp:208-234).  Zero
-    rows contribute σ² on the diagonal only, leaving γ unchanged.
+    rows contribute σ² on the diagonal only, leaving γ unchanged.  Small
+    systems route through the unrolled-Cholesky quadratic form
+    (ops/smallmat.py) — the batched lapack-style solve custom call runs its
+    tiny factorizations serially on TPU (~0.2 ms/frame at the operating
+    point); the unrolled form fuses.
     """
-    S = H @ state_cov @ H.T + sigma**2 * jnp.eye(H.shape[0], dtype=H.dtype)
+    m = H.shape[0]
+    S = H @ state_cov @ H.T + sigma**2 * jnp.eye(m, dtype=H.dtype)
+    if m <= 32:
+        from open_vins_tpu.ops import smallmat
+
+        return smallmat.chi2_quadform(S, res)
     sol = jnp.linalg.solve(S, res)
     return jnp.dot(res, sol)

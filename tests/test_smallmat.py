@@ -40,6 +40,30 @@ def test_eigvalsh3_matches_linalg():
     assert np.allclose(e, e_ref, rtol=1e-3, atol=1e-3 * np.abs(e_ref).max())
 
 
+def test_chi2_quadform_matches_solve():
+    rng = np.random.default_rng(5)
+    for m in (6, 19):
+        J = rng.normal(size=(40, m + 4, m))
+        S = np.einsum("nik,nij->nkj", J, J) + 1.0 * np.eye(m)
+        b = rng.normal(size=(40, m))
+        g = np.array(smallmat.chi2_quadform(jnp.asarray(S), jnp.asarray(b)))
+        g_ref = np.einsum("ni,ni->n", b, np.linalg.solve(S, b[..., None])[..., 0])
+        assert np.allclose(g, g_ref, rtol=2e-3, atol=1e-4), (m, np.abs(g - g_ref).max())
+
+
+def test_chi2_quadform_masked_rows():
+    """sigma^2-identity rows (masked measurements) with zero residual must
+    contribute nothing."""
+    m = 8
+    S = np.eye(m) * 0.25
+    S[:3, :3] += np.array([[2.0, 0.3, 0.1], [0.3, 1.5, 0.2], [0.1, 0.2, 3.0]])
+    b = np.zeros(m)
+    b[:3] = [0.5, -0.2, 0.1]
+    g = float(smallmat.chi2_quadform(jnp.asarray(S), jnp.asarray(b)))
+    g_ref = float(b @ np.linalg.solve(S, b))
+    assert abs(g - g_ref) < 1e-5 * max(1.0, g_ref)
+
+
 def test_eigvalsh3_spherical():
     A = jnp.broadcast_to(2.5 * jnp.eye(3), (4, 3, 3))
     e = np.array(smallmat.eigvalsh3(A))
