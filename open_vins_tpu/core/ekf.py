@@ -190,7 +190,7 @@ def active_mask(state: VioState, cfg: FilterConfig):
     return mask
 
 
-def kalman_update_math(cov, H, res, r_diag, fuse_downdate=True):
+def kalman_update_math(cov, H, res, r_diag, fuse_downdate=True, ranges=None):
     """The shared dense update math: (dx [D], new_cov [D,D]).
 
     M = P Hᵀ, S = H M + R solved by Cholesky, symmetric covariance downdate
@@ -199,9 +199,21 @@ def kalman_update_math(cov, H, res, r_diag, fuse_downdate=True):
     the downdate through the tiled Pallas kernel on TPU; the GSPMD-sharded
     caller keeps the plain matmul form so XLA can shard it
     (parallel/sharded_ekf.py).
+
+    `ranges` (static (start, stop) tuples): column support of H — rows must
+    be exactly zero outside it (FilterConfig.cam_meas_support_ranges).  The
+    P·Hᵀ and S products then contract over k = |support| columns instead of
+    D; identical results, ~D/k fewer flops on the latency-bound small side.
     """
-    PHt = cov @ H.T  # [D, m]
-    S = H @ PHt + jnp.diag(r_diag)
+    if ranges is not None:
+        from open_vins_tpu.models.update_helper import take_cols
+
+        H_s = take_cols(H, ranges)  # [m, k]
+        PHt = take_cols(cov, ranges) @ H_s.T  # [D, m]
+        S = H_s @ take_cols(PHt.T, ranges).T + jnp.diag(r_diag)
+    else:
+        PHt = cov @ H.T  # [D, m]
+        S = H @ PHt + jnp.diag(r_diag)
     S = 0.5 * (S + S.T)
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
     K = jax.scipy.linalg.cho_solve(chol, PHt.T).T  # [D, m]
@@ -216,14 +228,16 @@ def kalman_update_math(cov, H, res, r_diag, fuse_downdate=True):
     return dx, new_cov
 
 
-def ekf_update(state: VioState, cfg: FilterConfig, H, res, r_diag) -> VioState:
+def ekf_update(state: VioState, cfg: FilterConfig, H, res, r_diag,
+               ranges=None) -> VioState:
     """Standard EKF update; padded rows must have H=0, res=0, r_diag=1.
 
     Mirrors StateHelper::EKFUpdate (StateHelper.cpp:116-197).  The reference
     aborts on negative covariance diagonals; here we clamp-symmetrize (f32
-    on TPU) and expose the diagonal for health checks.
+    on TPU) and expose the diagonal for health checks.  `ranges`: static
+    column support of H (see kalman_update_math).
     """
-    dx, cov = kalman_update_math(state.cov, H, res, r_diag)
+    dx, cov = kalman_update_math(state.cov, H, res, r_diag, ranges=ranges)
     new_state = boxplus(state, cfg, dx)
     return new_state._replace(cov=cov)
 

@@ -188,3 +188,27 @@ class FilterConfig(NamedTuple):
     @property
     def state_dim(self) -> int:
         return self.imu_thw_off + 3
+
+    # ---- static measurement column support -------------------------------
+    # Visual measurement Jacobians never touch the IMU or IMU-intrinsic
+    # blocks (feature rows live on clones + camera calib; SLAM rows add the
+    # landmark block) — the update still corrects those states through the
+    # P·Hᵀ cross-covariance.  Restricting compression and the S-solve to the
+    # static support columns shrinks the per-update problem from D to ~D/3
+    # with exactly the same algebra (the dropped columns are exact zeros).
+
+    @property
+    def cam_meas_support_ranges(self) -> tuple:
+        """(start, stop) ranges of columns a camera-feature row can touch:
+        clone block + camera extrinsic/intrinsic calib (+ dt)."""
+        return (
+            (self.clones_off, self.clones_off + 6 * self.max_clones),
+            (self.calib_dt_off, self.calib_intr_off + 8 * self.num_cams),
+        )
+
+    @property
+    def slam_meas_support_ranges(self) -> tuple:
+        """Support of SLAM-landmark rows: clones + landmarks + cam calib."""
+        return (
+            (self.clones_off, self.calib_intr_off + 8 * self.num_cams),
+        )

@@ -151,11 +151,17 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     tri_ok = tri_ok & jnp.all(jnp.isfinite(p_f), axis=-1)
     p_f = jnp.where(tri_ok[:, None], p_f, jnp.asarray([0.0, 0.0, 1.0]))
 
-    # per-feature jacobians at FEJ, nullspace projection, chi2
+    # per-feature jacobians at FEJ, nullspace projection, chi2.  The gate's
+    # H P Hᵀ contracts over the static support columns only (P_ss hoisted
+    # out of the vmap) — measurement rows are exact zeros elsewhere.
+    sup = cfg.cam_meas_support_ranges
+    P_ss = uh.take_cols(uh.take_cols(state.cov, sup).T, sup)
+
     def per_feature(obs_g, pf):
         H_x, H_f, res, row_mask = uh.feature_jacobian(state, cfg, obs_g, pf, pf)
         H_proj, res_proj = uh.nullspace_project(H_x, H_f, res)
-        gamma = uh.chi2_statistic(state.cov, H_proj, res_proj, sigma)
+        gamma = uh.chi2_statistic(P_ss, uh.take_cols(H_proj, sup),
+                                  res_proj, sigma)
         n_rows = jnp.sum(row_mask.astype(jnp.int32))
         return H_proj, res_proj, gamma, n_rows
 
@@ -171,17 +177,18 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     H_big = jnp.where(keep, H_proj, 0.0).reshape(-1, D)
     res_big = jnp.where(keep[..., 0], res_proj, 0.0).reshape(-1)
 
+    # camera-feature rows are exactly zero outside clones+calib: compress
+    # and solve at k = |support| (~D/3) instead of D — same algebra
+    ranges = cfg.cam_meas_support_ranges
     if cfg.fast_compress:
         H_c, res_c = uh.compress_system_cholesky(H_big, res_big, D)
+        ranges = None
     else:
-        H_c, res_c = uh.compress_system(H_big, res_big, D)
-    r_diag = jnp.full((D,), sigma**2, dtype=H_c.dtype)
-    # guard: skip the update entirely when nothing passed
-    any_ok = jnp.any(feat_ok)
-    new_state = ekf.ekf_update(state, cfg, H_c, res_c, r_diag)
-    state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(any_ok, a, b), new_state, state
-    )
+        H_c, res_c = uh.compress_system_ranges(H_big, res_big, ranges, D)
+    r_diag = jnp.full((H_c.shape[0],), sigma**2, dtype=H_c.dtype)
+    # no any_ok select needed: with zero rows the update is an exact no-op
+    # (K = P·0 = 0), so an empty frame costs nothing and changes nothing
+    state = ekf.ekf_update(state, cfg, H_c, res_c, r_diag, ranges=ranges)
 
     # cleanup: processed lost rows die whether or not their update passed
     # (UpdaterMSCKF erases processed features either way); lost candidates

@@ -227,6 +227,71 @@ def compress_system(H, res, out_rows):
     return H_c, res_c
 
 
+def take_cols(M, ranges):
+    """Static-slice gather of column ranges: M[:, ∪ranges] (axon-safe)."""
+    return jnp.concatenate([M[..., a:b] for a, b in ranges], axis=-1)
+
+
+def scatter_cols(M_s, ranges, D):
+    """Inverse of take_cols: place [rows, k] back into [rows, D] zeros."""
+    out = jnp.zeros(M_s.shape[:-1] + (D,), M_s.dtype)
+    off = 0
+    for a, b in ranges:
+        out = out.at[..., a:b].set(M_s[..., off:off + (b - a)])
+        off += b - a
+    return out
+
+
+def _cholqr2_r(A, shift_rel=3e-6):
+    """R factor by SHIFTED CHOLESKYQR2 — the MXU-native tall-QR.
+
+    Two Gram-Cholesky passes: R₁ = chol(AᵀA + sI)ᵀ, Q₁ = A R₁⁻¹,
+    R = chol(Q₁ᵀQ₁ + s₂I)ᵀ R₁.  In exact arithmetic RᵀR = AᵀA holds for ANY
+    shift (R₁ᵀ(Q₁ᵀQ₁)R₁ = AᵀA identically); in f32 the error is
+    ~eps·cond(Q₁) ≈ eps — the second pass refines away both the shift and
+    the squared-condition error that makes single-pass normal equations
+    unsafe (see compress_system_cholesky's caveat; this is NOT that).  The
+    shift only provides rank-safety for structurally zero columns (e.g.
+    uncalibrated blocks inside the support set).  Cost: three MXU matmuls +
+    two [n,n] factorizations — no sequential Householder panels (XLA geqrf
+    burned ~330 us/frame on the TPU profile; this runs in ~1/4 of it).
+    """
+    n = A.shape[1]
+    dt = A.dtype
+    eye = jnp.eye(n, dtype=dt)
+    G = A.T @ A
+    s1 = shift_rel * (jnp.trace(G) / n) + jnp.asarray(1e-30, dt)
+    L1 = jnp.linalg.cholesky(G + s1 * eye)
+    L1 = jnp.where(jnp.isfinite(L1), L1, eye)  # total breakdown guard
+    L1_inv = jax.scipy.linalg.solve_triangular(L1, eye, lower=True)
+    Q1 = A @ L1_inv.T
+    G2 = Q1.T @ Q1
+    s2 = shift_rel * (jnp.trace(G2) / n) + jnp.asarray(1e-30, dt)
+    L2 = jnp.linalg.cholesky(G2 + s2 * eye)
+    L2 = jnp.where(jnp.isfinite(L2), L2, eye)
+    return L2.T @ L1.T  # upper triangular [n, n]
+
+
+def compress_system_ranges(H, res, ranges, D):
+    """QR compression restricted to a STATIC column-support set.
+
+    Measurement rows from the camera pipeline are exactly zero outside
+    `ranges` (clones + calib [+ landmarks] — never the IMU block, see
+    FilterConfig.cam_meas_support_ranges), so the compression QR and the
+    downstream S-solve can run at k = |support| columns/rows instead of D:
+    identical algebra (the dropped columns contribute nothing to RᵀR), a
+    ~(D/k)² cheaper factorization.  The factorization itself is the
+    MXU-native CholeskyQR2 (`_cholqr2_r`).  Returns (H_c [k, D], res_c [k]).
+    """
+    k = sum(b - a for a, b in ranges)
+    A = jnp.concatenate([take_cols(H, ranges), res[:, None]], axis=1)
+    R = _cholqr2_r(A)
+    kk = min(k, R.shape[0])
+    Hc_s = jnp.zeros((k, k), H.dtype).at[:kk].set(R[:kk, :k])
+    res_c = jnp.zeros((k,), H.dtype).at[:kk].set(R[:kk, k])
+    return scatter_cols(Hc_s, ranges, D), res_c
+
+
 def compress_system_cholesky(H, res, out_rows):
     """Normal-equation compression: one MXU matmul + a [D,D] Cholesky.
 

@@ -369,17 +369,7 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
                                         gather_fn)
     if cfg.max_slam == 0:
         return state, table, jnp.asarray(0, dtype=jnp.int32)
-    from open_vins_tpu.ops import smallmat
-
-    L = cfg.max_slam
-    D = cfg.state_dim
     F = MAX_INIT_PER_FRAME
-    sigma = cfg.sigma_pix_slam
-    dtype = state.cov.dtype
-    rep = cfg.feat_rep_slam
-    single = lrep.is_single(rep)
-    rep_lin = lrep.ANCHORED_MSCKF_INVERSE_DEPTH if single else rep
-    k = 1 if single else 3
 
     delay_ok = (state.t - state.t_init) >= cfg.dt_slam_delay
     window_full = (state.n_clones >= cfg.max_clones) & delay_ok
@@ -393,6 +383,37 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
                       score + 1e4, score)
     _, rows = jax.lax.top_k(score, F)
     cand_ok = score[rows] > 0
+
+    # steady state (all slots full / no mature candidates) skips the whole
+    # init block on-device: its per-candidate QRs + joint insertion + EKF
+    # update showed up at ~25 us/frame in the TPU profile even with no work
+    any_work = jnp.any(cand_ok) & (n_free > 0)
+    state, table, n_init = jax.lax.cond(
+        any_work,
+        lambda st_tb: _delayed_init_work(st_tb[0], cfg, st_tb[1], tri_opts,
+                                         gather_fn, rows, cand_ok),
+        lambda st_tb: (st_tb[0], st_tb[1], jnp.asarray(0, jnp.int32)),
+        (state, table))
+    return state, table, n_init
+
+
+def _delayed_init_work(state: VioState, cfg: FilterConfig,
+                       table: ft.FeatureTable,
+                       tri_opts: tri.TriangulationOptions, gather_fn,
+                       rows, cand_ok):
+    """The joint batched init body (see delayed_init docstring)."""
+    from open_vins_tpu.ops import smallmat
+
+    L = cfg.max_slam
+    D = cfg.state_dim
+    F = MAX_INIT_PER_FRAME
+    sigma = cfg.sigma_pix_slam
+    dtype = state.cov.dtype
+    rep = cfg.feat_rep_slam
+    single = lrep.is_single(rep)
+    rep_lin = lrep.ANCHORED_MSCKF_INVERSE_DEPTH if single else rep
+    k = 1 if single else 3
+    n_free = jnp.sum((~state.slam_valid).astype(jnp.int32))
 
     tri_obs, gobs = gather_fn(state, cfg, table, rows)
     p_f, tri_ok = tri.triangulate_batch(tri_obs, tri_opts)
@@ -472,9 +493,11 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         jnp.arange(F))
 
     ok = cand_ok & tri_ok & extra_ok
-    # chi2 gate on the leftover rows (pre-init covariance)
-    gamma = jax.vmap(lambda H, r: uh.chi2_statistic(state.cov, H, r, sigma))(
-        H_up, res_up)
+    # chi2 gate on the leftover rows (pre-init covariance, support columns)
+    sup = cfg.cam_meas_support_ranges
+    P_ss = uh.take_cols(uh.take_cols(state.cov, sup).T, sup)
+    gamma = jax.vmap(lambda H, r: uh.chi2_statistic(
+        P_ss, uh.take_cols(H, sup), r, sigma))(H_up, res_up)
     dof = jnp.maximum(n_valid - 3, 1)
     mult = jnp.where(_aruco_landmark_mask(cfg, feat_ids),
                      cfg.chi2_multiplier_aruco, cfg.chi2_multiplier_slam)
@@ -543,10 +566,10 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     H_up_all = (H_up * keep).reshape(-1, D)
     res_up_all = (res_up * keep[..., 0]).reshape(-1)
     r_diag = jnp.full((H_up_all.shape[0],), sigma ** 2, dtype=dtype)
-    any_ok = jnp.any(ok)
-    new_state = ekf.ekf_update(state, cfg, H_up_all, res_up_all, r_diag)
-    state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(any_ok, a, b), new_state, state)
+    # leftover rows are pure H_x rows: clones + cam calib support only;
+    # zero rows are exact update no-ops (no any_ok select needed)
+    state = ekf.ekf_update(state, cfg, H_up_all, res_up_all, r_diag,
+                           ranges=cfg.cam_meas_support_ranges)
 
     n_init = jnp.sum(ok.astype(jnp.int32))
     T = table.ids.shape[0]
@@ -600,6 +623,11 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     )(slot_idx)
 
     single = lrep.is_single(cfg.feat_rep_slam)
+
+    # chi2 gates contract over the static SLAM support columns (P_ss hoisted
+    # out of the vmap); landmark rows are exact zeros on the IMU block
+    sup = cfg.slam_meas_support_ranges
+    P_ss = uh.take_cols(uh.take_cols(state.cov, sup).T, sup)
 
     def per_landmark(slot):
         r = row[slot]
@@ -658,7 +686,7 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
             H_full = H_full * c
             res = res * c
             mult = jnp.where(is_ar, cfg.chi2_multiplier_aruco, mult)
-        gamma = uh.chi2_statistic(state.cov, H_full, res, sigma)
+        gamma = uh.chi2_statistic(P_ss, uh.take_cols(H_full, sup), res, sigma)
         ok = (
             has_row[slot]
             & (n_valid >= min_rows)
@@ -672,18 +700,18 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     H_big = jnp.where(keep[..., None], H, 0.0).reshape(L * 2 * O, D)
     res_big = jnp.where(keep, res, 0.0).reshape(L * 2 * O)
 
-    # compress the (mostly-masked) stacked system when it is taller than the
-    # state — the same orthogonal-transform argument as the MSCKF compression
+    # compress the (mostly-masked) stacked system when it is taller than its
+    # static column support (clones+landmarks+calib — never the IMU block) —
+    # the same orthogonal-transform argument as the MSCKF compression
     # applies since the landmark columns are ordinary state columns here
-    if L * 2 * O > D:
-        H_big, res_big = uh.compress_system(H_big, res_big, D)
+    ranges = cfg.slam_meas_support_ranges
+    k_sup = sum(b - a for a, b in ranges)
+    if L * 2 * O > k_sup:
+        H_big, res_big = uh.compress_system_ranges(H_big, res_big, ranges, D)
     r_diag = jnp.full((H_big.shape[0],), sigma**2, dtype=H_big.dtype)
 
-    any_ok = jnp.any(ok)
-    new_state = ekf.ekf_update(state, cfg, H_big, res_big, r_diag)
-    state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(any_ok, a, b), new_state, state
-    )
+    # zero rows are exact update no-ops — no any_ok select needed
+    state = ekf.ekf_update(state, cfg, H_big, res_big, r_diag, ranges=ranges)
 
     # consume: every landmark with >=1 valid stacked row had its measurements
     # processed (used or chi2-rejected) — clear them from the table
