@@ -64,6 +64,16 @@ class FilterConfig(NamedTuple):
     # padding and dominates the SLAM update cost on TPU.  W=3 reproduces
     # the full-window results exactly on closed-loop sims (W=2 measurably
     # drops rows); 0 = gather the full window (exact reference stacking).
+    joint_vision_update: bool = True  # ONE EKF update per frame: the MSCKF,
+    # SLAM-landmark, and delayed-init-leftover systems all linearize at the
+    # pre-update state, are whitened to unit noise, jointly compressed on
+    # the SLAM column support, and applied together.  The reference applies
+    # them sequentially (VioManager.cpp:502-548) — a joint update of
+    # independent measurement sets is the textbook simultaneous EKF update;
+    # the difference is the second-order relinearization between the
+    # sub-updates.  Closed-loop NEES/RMSE parity is pinned by
+    # tests/test_e2e_sim.py + tests/test_slam.py (joint vs sequential).
+    # False restores the reference-exact sequential ordering.
     fast_compress: bool = False  # OPT-IN normal-eq compression instead of
     # tall QR.  CAVEAT: in f32 the required Cholesky jitter (~eps*||H^T H||)
     # injects spurious information on weakly-constrained dims and corrupts

@@ -111,15 +111,19 @@ def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTabl
     return tri_obs, gobs
 
 
-def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
-                 tri_opts: tri.TriangulationOptions, reserved=None):
-    """Triage + triangulate + project + gate + compress + EKF update.
+def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
+                tri_opts: tri.TriangulationOptions, reserved=None):
+    """Triage + triangulate + project + gate + compress — NO state update.
 
-    Mirrors UpdaterMSCKF::update (UpdaterMSCKF.cpp:58-295) plus the triage
-    logic of VioManager::do_feature_propagate_update (VioManager.cpp:366-500).
+    Mirrors UpdaterMSCKF::update (UpdaterMSCKF.cpp:58-295) up to (not
+    including) the EKFUpdate, plus the triage logic of
+    VioManager::do_feature_propagate_update (VioManager.cpp:366-500).
     `reserved` ([T] bool, optional): rows reserved for SLAM promotion this
     frame — excluded here so each feature feeds exactly one updater.
-    Returns (state, table, diag).
+    Returns (H_c, res_c, ranges, table, diag): the compressed system (row
+    noise = cfg.sigma_pix, column support `ranges`) and the post-cleanup
+    table.  Used directly by the joint per-frame update
+    (FilterConfig.joint_vision_update); `msckf_update` applies it alone.
     """
     F = cfg.max_msckf_in_update
     D = cfg.state_dim
@@ -185,10 +189,6 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         ranges = None
     else:
         H_c, res_c = uh.compress_system_ranges(H_big, res_big, ranges, D)
-    r_diag = jnp.full((H_c.shape[0],), sigma**2, dtype=H_c.dtype)
-    # no any_ok select needed: with zero rows the update is an exact no-op
-    # (K = P·0 = 0), so an empty frame costs nothing and changes nothing
-    state = ekf.ekf_update(state, cfg, H_c, res_c, r_diag, ranges=ranges)
 
     # cleanup: processed lost rows die whether or not their update passed
     # (UpdaterMSCKF erases processed features either way); lost candidates
@@ -210,6 +210,20 @@ def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         n_slam=jnp.asarray(0, jnp.int32),
         n_slam_used=jnp.asarray(0, jnp.int32),
     )
+    return H_c, res_c, ranges, table, diag
+
+
+def msckf_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
+                 tri_opts: tri.TriangulationOptions, reserved=None):
+    """msckf_build + standalone EKF update (the sequential path).
+
+    Returns (state, table, diag)."""
+    H_c, res_c, ranges, table, diag = msckf_build(
+        state, cfg, table, tri_opts, reserved)
+    r_diag = jnp.full((H_c.shape[0],), cfg.sigma_pix**2, dtype=H_c.dtype)
+    # no any_ok select needed: with zero rows the update is an exact no-op
+    # (K = P·0 = 0), so an empty frame costs nothing and changes nothing
+    state = ekf.ekf_update(state, cfg, H_c, res_c, r_diag, ranges=ranges)
     return state, table, diag
 
 
@@ -278,12 +292,41 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
     if cfg.max_slam > 0:
         reserved = slam.promotion_candidates(state, cfg, table)
 
-    # 5. MSCKF update (dead + surplus full-window tracks)
-    state, table, diag = msckf_update(state, cfg, table, tri_opts, reserved)
+    # 5+6. vision updates.  Joint mode (default): the MSCKF, SLAM-landmark,
+    # and delayed-init-leftover systems all linearize at the pre-update
+    # state, are whitened to unit noise, jointly compressed on the SLAM
+    # column support, and applied as ONE EKF update — the textbook
+    # simultaneous update of independent measurement sets (the reference
+    # applies them sequentially, VioManager.cpp:502-548; the difference is
+    # the second-order relinearization between sub-updates, and the
+    # closed-loop NEES/RMSE tests pin the two modes against each other).
+    # One P·Hᵀ/S-solve/downdate chain instead of three.
+    joint = (cfg.joint_vision_update and cfg.max_slam > 0
+             and not cfg.fast_compress)
+    if joint:
+        H1, r1, _, table, diag = msckf_build(state, cfg, table, tri_opts,
+                                             reserved)
+        state, table, H2, r2, _, n_used = slam.build_update(state, cfg, table)
+        state, table, _, H3, r3 = slam.delayed_init(
+            state, cfg, table, tri_opts, gather_feature_obs, collect=True)
+        s1, s2 = cfg.sigma_pix, cfg.sigma_pix_slam
+        H = jnp.concatenate([H1 / s1, H2 / s2, H3 / s2], axis=0)
+        res = jnp.concatenate([r1 / s1, r2 / s2, r3 / s2])
+        ranges = cfg.slam_meas_support_ranges
+        D = cfg.state_dim
+        H, res = uh.compress_system_ranges(H, res, ranges, D)
+        r_diag = jnp.ones((H.shape[0],), H.dtype)
+        state = ekf.ekf_update(state, cfg, H, res, r_diag, ranges=ranges)
+        state, table = slam.evict(state, cfg, table)
+        diag = diag._replace(
+            n_slam=jnp.sum(state.slam_valid.astype(jnp.int32)),
+            n_slam_used=n_used,
+        )
+        return state, table, diag
 
-    # 6. SLAM: update in-state landmarks, init new ones, evict dead ones
-    #    (UpdaterSLAM order per VioManager.cpp:502-548); both update and
-    #    delayed-init consume their measurements from the table
+    # sequential (reference-exact ordering): MSCKF update, then SLAM update,
+    # then delayed init, each consuming its measurements from the table
+    state, table, diag = msckf_update(state, cfg, table, tri_opts, reserved)
     if cfg.max_slam > 0:
         state, table, _, n_used = slam.update(state, cfg, table)
         state, table, _ = slam.delayed_init(state, cfg, table, tri_opts,

@@ -345,7 +345,8 @@ _DELAYED_INIT_JOINT = True  # joint batched init; sequential path = oracle
 
 
 def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
-                 tri_opts: tri.TriangulationOptions, gather_fn):
+                 tri_opts: tri.TriangulationOptions, gather_fn,
+                 collect: bool = False):
     """Promote up to MAX_INIT_PER_FRAME mature tracks into free SLAM slots —
     JOINT BATCHED delayed initialization.
 
@@ -363,12 +364,25 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
 
     gather_fn(state, cfg, table, rows) -> (tri_obs, gobs)  (manager's
     gather_feature_obs, passed in to avoid a circular import).
+
+    `collect=True` (the joint per-frame update): the landmark insertion
+    still happens here, but the leftover measurement rows are RETURNED
+    (zero-padded when no init ran) instead of applied, so the caller can
+    stack them into the one joint EKF update.  Return value gains
+    (H_up [F·(2·C·N−k), D], res_up) with row noise cfg.sigma_pix_slam.
     """
+    k1 = 1 if lrep.is_single(cfg.feat_rep_slam) else 3
+    up_rows = MAX_INIT_PER_FRAME * (2 * cfg.max_clones * cfg.num_cams - k1)
+    D = cfg.state_dim
+    dt = state.cov.dtype
+    zero_up = (jnp.zeros((up_rows, D), dt), jnp.zeros((up_rows,), dt))
     if not _DELAYED_INIT_JOINT:
+        assert not collect, "collect requires the joint batched init"
         return _delayed_init_sequential(state, cfg, table, tri_opts,
                                         gather_fn)
     if cfg.max_slam == 0:
-        return state, table, jnp.asarray(0, dtype=jnp.int32)
+        zero = (state, table, jnp.asarray(0, dtype=jnp.int32))
+        return zero + zero_up if collect else zero
     F = MAX_INIT_PER_FRAME
 
     delay_ok = (state.t - state.t_init) >= cfg.dt_slam_delay
@@ -388,19 +402,20 @@ def delayed_init(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     # init block on-device: its per-candidate QRs + joint insertion + EKF
     # update showed up at ~25 us/frame in the TPU profile even with no work
     any_work = jnp.any(cand_ok) & (n_free > 0)
-    state, table, n_init = jax.lax.cond(
+    out = jax.lax.cond(
         any_work,
         lambda st_tb: _delayed_init_work(st_tb[0], cfg, st_tb[1], tri_opts,
-                                         gather_fn, rows, cand_ok),
-        lambda st_tb: (st_tb[0], st_tb[1], jnp.asarray(0, jnp.int32)),
+                                         gather_fn, rows, cand_ok, collect),
+        lambda st_tb: (st_tb[0], st_tb[1], jnp.asarray(0, jnp.int32))
+        + (zero_up if collect else ()),
         (state, table))
-    return state, table, n_init
+    return out
 
 
 def _delayed_init_work(state: VioState, cfg: FilterConfig,
                        table: ft.FeatureTable,
                        tri_opts: tri.TriangulationOptions, gather_fn,
-                       rows, cand_ok):
+                       rows, cand_ok, collect: bool = False):
     """The joint batched init body (see delayed_init docstring)."""
     from open_vins_tpu.ops import smallmat
 
@@ -465,6 +480,22 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
             H_x = H_x * c
             H_lam = H_lam * c
             res = res * c
+        # kill non-finite/absurd rows BEFORE the QR: rejected candidates
+        # keep the [0,0,1] placeholder point, whose projection overflows
+        # the radtan distortion polynomial at tiny depth (inf, or finite
+        # ~1e30 values whose squared norms overflow inside the QR to NaN);
+        # the joint insertion masks by multiplication (okf), where
+        # inf·0 = NaN would poison the whole covariance — select-based
+        # masking downstream is NOT enough, one bad row NaNs the whole QR
+        def _bad(M):
+            return ~jnp.isfinite(M) | (jnp.abs(M) > 1e8)
+
+        sane = ~(jnp.any(_bad(H_x)) | jnp.any(_bad(H_lam))
+                 | jnp.any(_bad(res)))
+        extra_ok = extra_ok & sane
+        H_x = jnp.where(_bad(H_x), 0.0, H_x)
+        H_lam = jnp.where(_bad(H_lam), 0.0, H_lam)
+        res = jnp.where(_bad(res), 0.0, res)
         n_valid = jnp.sum(row_mask.astype(jnp.int32))
         if single:
             # bearing columns nullspace-projected out; rho is the 1-dof state
@@ -561,20 +592,24 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
             0, mode="drop"),
     )
 
-    # one stacked EKF update over every accepted candidate's leftover rows
+    # one stacked system over every accepted candidate's leftover rows
     keep = okf[:, None, None]
     H_up_all = (H_up * keep).reshape(-1, D)
     res_up_all = (res_up * keep[..., 0]).reshape(-1)
-    r_diag = jnp.full((H_up_all.shape[0],), sigma ** 2, dtype=dtype)
-    # leftover rows are pure H_x rows: clones + cam calib support only;
-    # zero rows are exact update no-ops (no any_ok select needed)
-    state = ekf.ekf_update(state, cfg, H_up_all, res_up_all, r_diag,
-                           ranges=cfg.cam_meas_support_ranges)
 
     n_init = jnp.sum(ok.astype(jnp.int32))
     T = table.ids.shape[0]
     consumed_rows = jnp.zeros((T,), dtype=bool).at[rows].set(ok, mode="drop")
     table = table._replace(mask=table.mask & ~consumed_rows[:, None, None])
+
+    if collect:  # joint mode: the caller applies the leftover rows
+        return state, table, n_init, H_up_all, res_up_all
+
+    r_diag = jnp.full((H_up_all.shape[0],), sigma ** 2, dtype=dtype)
+    # leftover rows are pure H_x rows: clones + cam calib support only;
+    # zero rows are exact update no-ops (no any_ok select needed)
+    state = ekf.ekf_update(state, cfg, H_up_all, res_up_all, r_diag,
+                           ranges=cfg.cam_meas_support_ranges)
     return state, table, n_init
 
 
@@ -595,8 +630,39 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
 
     Returns (state, table, fail_count [L], n_used).
     """
+    state, table, H_big, res_big, failed, n_used = build_update(
+        state, cfg, table)
     if cfg.max_slam == 0:
-        return (state, table, jnp.zeros((0,), dtype=jnp.int32),
+        return state, table, failed, n_used
+    D = cfg.state_dim
+    sigma = cfg.sigma_pix_slam
+    # compress the (mostly-masked) stacked system when it is taller than its
+    # static column support (clones+landmarks+calib — never the IMU block) —
+    # the same orthogonal-transform argument as the MSCKF compression
+    # applies since the landmark columns are ordinary state columns here
+    ranges = cfg.slam_meas_support_ranges
+    k_sup = sum(b - a for a, b in ranges)
+    if H_big.shape[0] > k_sup:
+        H_big, res_big = uh.compress_system_ranges(H_big, res_big, ranges, D)
+    r_diag = jnp.full((H_big.shape[0],), sigma**2, dtype=H_big.dtype)
+
+    # zero rows are exact update no-ops — no any_ok select needed
+    state = ekf.ekf_update(state, cfg, H_big, res_big, r_diag, ranges=ranges)
+    return state, table, failed, n_used
+
+
+def build_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
+    """The linearization/gating/bookkeeping half of `update` — NO state
+    update.  Returns (state, table, H [L·2·O, D], res, fail_count [L],
+    n_used) with row noise = cfg.sigma_pix_slam (aruco rows pre-whitened)
+    and column support cfg.slam_meas_support_ranges.  `state` carries the
+    updated slam_fail counters; `table` has consumed measurements cleared.
+    Used directly by the joint per-frame update."""
+    if cfg.max_slam == 0:
+        return (state, table,
+                jnp.zeros((0, cfg.state_dim), dtype=state.cov.dtype),
+                jnp.zeros((0,), dtype=state.cov.dtype),
+                jnp.zeros((0,), dtype=jnp.int32),
                 jnp.asarray(0, jnp.int32))
     L, C, N, D = cfg.max_slam, cfg.max_clones, cfg.num_cams, cfg.state_dim
     # gather only the newest-W clone slots per landmark: measurements are
@@ -700,19 +766,6 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     H_big = jnp.where(keep[..., None], H, 0.0).reshape(L * 2 * O, D)
     res_big = jnp.where(keep, res, 0.0).reshape(L * 2 * O)
 
-    # compress the (mostly-masked) stacked system when it is taller than its
-    # static column support (clones+landmarks+calib — never the IMU block) —
-    # the same orthogonal-transform argument as the MSCKF compression
-    # applies since the landmark columns are ordinary state columns here
-    ranges = cfg.slam_meas_support_ranges
-    k_sup = sum(b - a for a, b in ranges)
-    if L * 2 * O > k_sup:
-        H_big, res_big = uh.compress_system_ranges(H_big, res_big, ranges, D)
-    r_diag = jnp.full((H_big.shape[0],), sigma**2, dtype=H_big.dtype)
-
-    # zero rows are exact update no-ops — no any_ok select needed
-    state = ekf.ekf_update(state, cfg, H_big, res_big, r_diag, ranges=ranges)
-
     # consume: every landmark with >=1 valid stacked row had its measurements
     # processed (used or chi2-rejected) — clear them from the table
     consumed = has_row & jnp.any(row_mask, axis=1)  # [L]
@@ -722,7 +775,8 @@ def update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
 
     failed = consumed & (~ok)
     state = state._replace(slam_fail=state.slam_fail + failed.astype(jnp.int32))
-    return state, table, failed.astype(jnp.int32), jnp.sum(ok.astype(jnp.int32))
+    return (state, table, H_big, res_big, failed.astype(jnp.int32),
+            jnp.sum(ok.astype(jnp.int32)))
 
 
 def _anchor_change_terms(state: VioState, cfg: FilterConfig, slot,
