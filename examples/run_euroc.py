@@ -67,6 +67,10 @@ def main():
 
     native.build()
     ds = native.EurocDataset(args.root, num_cams=num_cams)
+    # decode-ahead worker: PNG decode overlaps device compute (the analog
+    # of the reference's threaded camera subscription + sorted queue,
+    # ROS1Visualizer.cpp:451-487 / ros1_serial_msckf.cpp:210-278)
+    ds.prefetch_start(num_cams=num_cams, start=0, depth=6)
     imu_t, imu_w, imu_a = ds.imu()
     cam_t = ds.cam_times(0)
     t0 = imu_t[0]
@@ -95,11 +99,11 @@ def main():
     timer = FrameTimer(args.timing or None)
 
     def track(tstate, k, first):
-        img = ds.load_image(0, k)
+        img = ds.prefetch_get(0, k)
         if img is None:
             return tstate, None
         if num_cams == 2:
-            img_r = ds.load_image(1, k)
+            img_r = ds.prefetch_get(1, k)
             if img_r is None:
                 return tstate, None
             tstate, ids, uv, uvn, mask = tracker.track_frame_stereo(
@@ -220,6 +224,11 @@ def main():
     # ------------------------------------------------------------------
     if args.max_frames:
         n_frames = min(n_frames, init_k + 1 + args.max_frames)
+    # Without --timing the loop never blocks on the device: JAX's async
+    # dispatch queues each frame's fused step while the native prefetch
+    # thread decodes the next PNGs — host IO and device compute overlap
+    # (with --timing, stage boundaries force per-frame syncs).
+    sync = bool(args.timing)
     out_t, out_p, out_q = [], [], []
     t_prev = float(state.t)  # last initialized/caught-up state time
     t_start = time.time()
@@ -230,7 +239,8 @@ def main():
         if meas is None:
             continue
         ids, uv, uvn, mask = meas
-        mask.block_until_ready()
+        if sync:
+            mask.block_until_ready()
         timer.stage("tracking")
         n, wt, ww, wa = hub.make_window(t_prev, tk, K_win)
         if n <= 0:
@@ -244,22 +254,29 @@ def main():
             ids=ids, uv=uv, uvn=uvn, mask=mask,
         )
         state, table, diag = step(state, table, frame)
-        state.cov.block_until_ready()
+        if sync:
+            state.cov.block_until_ready()
         timer.stage("msckf")  # fused propagate+update device step
         timer.end_frame(tk + t0)
         t_prev = tk
-        q_ItoG_h = traj_io.rot_to_quat_xyzw(
-            np.array(lie.quat_2_rot(state.q)).T[None])[0]
         out_t.append(tk + t0)
-        out_p.append(np.array(state.p))
-        out_q.append(q_ItoG_h)
+        out_p.append(state.p)  # device arrays; converted after the loop
+        out_q.append(state.q)
         if k % 100 == 0:
             print(f"frame {k}: p={np.array(state.p).round(2)} "
                   f"msckf={int(diag.n_msckf)} slam={int(diag.n_slam)}")
 
+    state.cov.block_until_ready()  # drain the async queue before timing
     dt_total = time.time() - t_start
     print(f"processed {len(out_t)} frames in {dt_total:.1f}s "
           f"({len(out_t)/max(dt_total,1e-9):.1f} fps)")
+    ds.prefetch_stop()
+    if out_t:
+        ps = np.stack([np.array(p) for p in out_p])
+        qs = jnp.stack(out_q)
+        Rs = np.array(jax.vmap(lie.quat_2_rot)(qs))  # [N,3,3] global-to-IMU
+        out_q = traj_io.rot_to_quat_xyzw(np.transpose(Rs, (0, 2, 1)))
+        out_p = ps
     traj_io.save_tum(args.out, np.asarray(out_t), np.asarray(out_p),
                      np.asarray(out_q))
     print(f"wrote {args.out}; evaluate with examples/error_singlerun.py")

@@ -70,6 +70,15 @@ def _lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.euroc_load_image.restype = ctypes.c_int
+        lib.euroc_prefetch_start.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.euroc_prefetch_start.restype = ctypes.c_int
+        lib.euroc_prefetch_get.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.euroc_prefetch_get.restype = ctypes.c_int
+        lib.euroc_prefetch_stop.argtypes = [ctypes.c_void_p]
         _LIB = lib
     return _LIB
 
@@ -149,13 +158,33 @@ class EurocDataset:
         return t
 
     def load_image(self, cam, idx):
+        return self._fetch(_lib().euroc_load_image, cam, idx)
+
+    def _fetch(self, fn, cam, idx):
         buf = np.zeros((self.max_h, self.max_w), dtype=np.float32)
         oh = ctypes.c_int()
         ow = ctypes.c_int()
-        ok = _lib().euroc_load_image(
-            self._h, cam, idx,
-            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self.max_h, self.max_w, ctypes.byref(oh), ctypes.byref(ow))
+        ok = fn(self._h, cam, idx,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.max_h, self.max_w, ctypes.byref(oh), ctypes.byref(ow))
         if not ok:
             return None
         return buf[: oh.value, : ow.value].copy()
+
+    def prefetch_start(self, num_cams=1, start=0, depth=4):
+        """Spawn the native decode-ahead worker (frames [start, end) in
+        order, `depth` slots ahead).  The threaded-ingestion analog of the
+        reference's multi-threaded camera subscription
+        (ROS1Visualizer.cpp:451-487)."""
+        return bool(_lib().euroc_prefetch_start(self._h, num_cams, start,
+                                                depth))
+
+    def prefetch_get(self, cam, idx):
+        """Blocking fetch of a prefetched frame; in-order consumption,
+        cameras of one index fetched 0..N-1 (the last fetch releases the
+        slot).  Falls back to a synchronous decode on re-reads or when the
+        prefetcher is not running."""
+        return self._fetch(_lib().euroc_prefetch_get, cam, idx)
+
+    def prefetch_stop(self):
+        _lib().euroc_prefetch_stop(self._h)

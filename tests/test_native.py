@@ -89,3 +89,31 @@ class TestEurocLoader:
         img = ds.load_image(0, 1)
         assert img is not None and img.shape == (48, 64)
         assert 0.0 <= img.min() and img.max() <= 1.0
+
+    def test_prefetch_matches_sync(self, tmp_path):
+        """Decode-ahead worker returns bit-identical frames to the
+        synchronous path, in order, with fallback on re-reads and
+        skip-ahead consumption."""
+        self._make_tree(str(tmp_path))
+        ds = native.EurocDataset(str(tmp_path), num_cams=1)
+        sync = [ds.load_image(0, i) for i in range(3)]
+        assert ds.prefetch_start(num_cams=1, start=0, depth=2)
+        for i in range(3):
+            img = ds.prefetch_get(0, i)
+            np.testing.assert_array_equal(img, sync[i])
+        # past-the-end returns None; re-read falls back to sync decode
+        assert ds.prefetch_get(0, 99) is None
+        np.testing.assert_array_equal(ds.prefetch_get(0, 1), sync[1])
+        ds.prefetch_stop()
+        # after stop, prefetch_get still works (pure sync fallback)
+        np.testing.assert_array_equal(ds.prefetch_get(0, 2), sync[2])
+
+    def test_prefetch_skip_ahead(self, tmp_path):
+        """Jumping the consumer forward drops stale slots without
+        deadlocking the bounded ring."""
+        self._make_tree(str(tmp_path))
+        ds = native.EurocDataset(str(tmp_path), num_cams=1)
+        ref = ds.load_image(0, 2)
+        assert ds.prefetch_start(num_cams=1, start=0, depth=1)
+        np.testing.assert_array_equal(ds.prefetch_get(0, 2), ref)
+        ds.prefetch_stop()
