@@ -112,7 +112,8 @@ def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTabl
 
 
 def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
-                tri_opts: tri.TriangulationOptions, reserved=None):
+                tri_opts: tri.TriangulationOptions, reserved=None,
+                compress=True):
     """Triage + triangulate + project + gate + compress — NO state update.
 
     Mirrors UpdaterMSCKF::update (UpdaterMSCKF.cpp:58-295) up to (not
@@ -124,6 +125,11 @@ def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     noise = cfg.sigma_pix, column support `ranges`) and the post-cleanup
     table.  Used directly by the joint per-frame update
     (FilterConfig.joint_vision_update); `msckf_update` applies it alone.
+    `compress=False` skips the CholeskyQR2 stage and returns the raw
+    stacked rows — the joint update compresses the combined stack once,
+    so a pre-compression here would only add a dependent factorization
+    chain to the critical path (profiled: two of the frame's QR
+    custom-call clusters were this stage).
     """
     F = cfg.max_msckf_in_update
     D = cfg.state_dim
@@ -184,7 +190,9 @@ def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     # camera-feature rows are exactly zero outside clones+calib: compress
     # and solve at k = |support| (~D/3) instead of D — same algebra
     ranges = cfg.cam_meas_support_ranges
-    if cfg.fast_compress:
+    if not compress:
+        H_c, res_c = H_big, res_big
+    elif cfg.fast_compress:
         H_c, res_c = uh.compress_system_cholesky(H_big, res_big, D)
         ranges = None
     else:
@@ -305,7 +313,7 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
              and not cfg.fast_compress)
     if joint:
         H1, r1, _, table, diag = msckf_build(state, cfg, table, tri_opts,
-                                             reserved)
+                                             reserved, compress=False)
         state, table, H2, r2, _, n_used = slam.build_update(state, cfg, table)
         state, table, _, H3, r3 = slam.delayed_init(
             state, cfg, table, tri_opts, gather_feature_obs, collect=True)
