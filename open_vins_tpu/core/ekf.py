@@ -242,6 +242,61 @@ def ekf_update(state: VioState, cfg: FilterConfig, H, res, r_diag,
     return new_state._replace(cov=cov)
 
 
+def kalman_update_math_info(cov, H, res, ranges):
+    """Push-through (Woodbury) form of the EKF update — the single-solve
+    path for a TALL row-whitened stack with static column support.
+
+    For unit-noise rows, K = P Hᵀ(H P Hᵀ + I)⁻¹ = P (HᵀH P + I)⁻¹Hᵀ (the
+    push-through identity), which on the k-column support `ranges` reduces
+    to ONE k×k LU solve:
+
+        G = H_sᵀ H_s,  g = H_sᵀ res,  M = I + G P_ss
+        dx = P_:s M⁻¹ g,   P⁺ = P − P_:s M⁻¹ G P_s:
+
+    Exactly the same update as compress-then-solve (the orthogonal
+    compression preserves G and g by construction), but the two CholeskyQR2
+    factorizations + the S-Cholesky + their triangular solves — each a
+    panel-split custom call with fixed launch latency on TPU — collapse
+    into one grammian matmul (MXU, rows are the contraction dim) and one
+    getrf.  Unlike `compress_system_cholesky` (the quarantined fast path)
+    no jitter is added anywhere: M = I + (PSD·PSD) has eigenvalues ≥ 1 and
+    needs none, so there is no spurious-information channel; the f32
+    grammian rounding is the same one CholeskyQR2's RᵀR = AᵀA carries.
+    Zero rows contribute nothing to G/g — exact update no-ops, same
+    padded-row convention as `kalman_update_math`.
+
+    H must already be whitened (rows divided by their noise std).
+    Returns (dx [D], new_cov [D,D]).
+    """
+    from open_vins_tpu.models.update_helper import take_cols
+    from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
+
+    D = cov.shape[0]
+    H_s = take_cols(H, ranges)          # [m, k]
+    P_cols = take_cols(cov, ranges)     # [D, k] = P_:s
+    P_ss = take_cols(P_cols.T, ranges).T  # [k, k]
+    k = H_s.shape[1]
+    G = H_s.T @ H_s                     # [k, k] one MXU pass over m rows
+    g = H_s.T @ res                     # [k]
+    M = jnp.eye(k, dtype=cov.dtype) + G @ P_ss
+    lu = jax.scipy.linalg.lu_factor(M)
+    B = jnp.concatenate([G @ P_cols.T, g[:, None]], axis=1)  # [k, D+1]
+    X = jax.scipy.linalg.lu_solve(lu, B)
+    W, y = X[:, :D], X[:, D]
+    dx = P_cols @ y
+    new_cov = symmetric_downdate(cov, P_cols, W.T)
+    return dx, new_cov
+
+
+def ekf_update_info(state: VioState, cfg: FilterConfig, H, res,
+                    ranges) -> VioState:
+    """`ekf_update` via the push-through form (see kalman_update_math_info);
+    H row-whitened, zero rows are exact no-ops."""
+    dx, cov = kalman_update_math_info(state.cov, H, res, ranges)
+    new_state = boxplus(state, cfg, dx)
+    return new_state._replace(cov=cov)
+
+
 def set_initial_covariance(state: VioState, cfg: FilterConfig, diag) -> VioState:
     """Write a diagonal prior for the IMU block (+ calib if estimated).
 

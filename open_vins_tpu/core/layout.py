@@ -74,6 +74,13 @@ class FilterConfig(NamedTuple):
     # sub-updates.  Closed-loop NEES/RMSE parity is pinned by
     # tests/test_e2e_sim.py + tests/test_slam.py (joint vs sequential).
     # False restores the reference-exact sequential ordering.
+    joint_update_form: str = "woodbury"  # how the joint vision system is
+    # applied: "woodbury" = push-through identity, ONE k×k LU solve on the
+    # raw whitened stack (core/ekf.kalman_update_math_info — same algebra,
+    # no compression stage, fewest factorization launches on TPU);
+    # "qr" = CholeskyQR2-compress then the standard S-Cholesky update
+    # (the two are pinned against each other in tests/test_ekf.py and
+    # tests/test_slam.py closed loop).  Only read when joint_vision_update.
     fast_compress: bool = False  # OPT-IN normal-eq compression instead of
     # tall QR.  CAVEAT: in f32 the required Cholesky jitter (~eps*||H^T H||)
     # injects spurious information on weakly-constrained dims and corrupts

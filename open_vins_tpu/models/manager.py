@@ -321,10 +321,14 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
         H = jnp.concatenate([H1 / s1, H2 / s2, H3 / s2], axis=0)
         res = jnp.concatenate([r1 / s1, r2 / s2, r3 / s2])
         ranges = cfg.slam_meas_support_ranges
-        D = cfg.state_dim
-        H, res = uh.compress_system_ranges(H, res, ranges, D)
-        r_diag = jnp.ones((H.shape[0],), H.dtype)
-        state = ekf.ekf_update(state, cfg, H, res, r_diag, ranges=ranges)
+        if cfg.joint_update_form == "woodbury":
+            # push-through form: one grammian + one LU on the raw stack
+            state = ekf.ekf_update_info(state, cfg, H, res, ranges)
+        else:
+            D = cfg.state_dim
+            H, res = uh.compress_system_ranges(H, res, ranges, D)
+            r_diag = jnp.ones((H.shape[0],), H.dtype)
+            state = ekf.ekf_update(state, cfg, H, res, r_diag, ranges=ranges)
         state, table = slam.evict(state, cfg, table)
         diag = diag._replace(
             n_slam=jnp.sum(state.slam_valid.astype(jnp.int32)),

@@ -128,6 +128,42 @@ class TestUpdate:
         P_expect = P - K @ Hn @ P
         np.testing.assert_allclose(np.array(st2.cov), P_expect, atol=1e-4)
 
+    def test_info_form_matches_standard(self):
+        """Push-through (Woodbury) update == compress-then-solve on a tall
+        whitened stack with static column support — the joint vision
+        update's two execution forms (FilterConfig.joint_update_form)."""
+        from open_vins_tpu.models import update_helper as uh
+
+        st = make_state(seed=11)
+        D = CFG.state_dim
+        ranges = CFG.cam_meas_support_ranges
+        k = sum(b - a for a, b in ranges)
+        rng = np.random.default_rng(12)
+        m = 6 * k  # tall
+        H_s = rng.normal(size=(m, k)) * 0.5
+        H_s[m // 2:] = 0.0  # padded zero rows must be exact no-ops
+        H = np.zeros((m, D))
+        c0 = 0
+        for a, b in ranges:
+            H[:, a:b] = H_s[:, c0:c0 + (b - a)]
+            c0 += b - a
+        res = rng.normal(size=(m,)) * 0.05
+        res[m // 2:] = 0.0
+        H = jnp.asarray(H, jnp.float32)
+        res_j = jnp.asarray(res, jnp.float32)
+
+        dx_i, cov_i = ekf.kalman_update_math_info(st.cov, H, res_j, ranges)
+        H_c, res_c = uh.compress_system_ranges(H, res_j, ranges, D)
+        dx_q, cov_q = ekf.kalman_update_math(
+            st.cov, H_c, res_c, jnp.ones(H_c.shape[0]), ranges=ranges)
+        np.testing.assert_allclose(np.array(dx_i), np.array(dx_q),
+                                   atol=2e-5, rtol=1e-3)
+        np.testing.assert_allclose(np.array(cov_i), np.array(cov_q),
+                                   atol=2e-5, rtol=1e-3)
+        # covariance must have contracted and stayed PSD-ish
+        assert np.trace(np.array(cov_i)) < np.trace(np.array(st.cov))
+        assert np.all(np.linalg.eigvalsh(np.array(cov_i)) > -1e-5)
+
 
 class TestPropagation:
     def _sim(self):
