@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--containers", action="store_true",
                     help="include while/cond/call container ops")
+    ap.add_argument("--gaps", action="store_true",
+                    help="device-idle analysis: busy vs span, and total "
+                         "idle attributed to the op that FOLLOWS each gap")
     args = ap.parse_args()
 
     try:
@@ -76,6 +79,37 @@ def main():
             for name, t in sorted(tot.items(), key=lambda kv: -kv[1])[:args.top]:
                 print(f"{t*1e3:9.2f} ms {100*t/max(total,1e-12):5.1f}% "
                       f"x{cnt[name]:7d}  {name[:120]}")
+            if args.gaps:
+                # idle = span minus busy over the LEAF op timeline; each
+                # inter-op gap is charged to the op that follows it (i.e.
+                # "what the device was waiting to start") — the TPU
+                # equivalent of a stall-attribution profile
+                evs = sorted(
+                    ((ev.offset_ps, ev.duration_ps,
+                      plane.event_metadata[ev.metadata_id].name)
+                     for ev in line.events
+                     if not plane.event_metadata[
+                         ev.metadata_id].name.startswith(skip)),
+                    key=lambda e: e[0])
+                if evs:
+                    span = (evs[-1][0] + evs[-1][1] - evs[0][0]) / 1e12
+                    busy = sum(d for _, d, _ in evs) / 1e12
+                    gap_by = defaultdict(float)
+                    gap_n = defaultdict(int)
+                    end = evs[0][0]
+                    for off, dur, name in evs:
+                        if off > end:
+                            gap_by[name] += (off - end) / 1e12
+                            gap_n[name] += 1
+                        end = max(end, off + dur)
+                    idle = span - busy
+                    print(f"-- gaps: span {span*1e3:.1f} ms, busy "
+                          f"{busy*1e3:.1f} ms, idle {idle*1e3:.1f} ms "
+                          f"({100*idle/max(span,1e-12):.1f}%) --")
+                    for name, t in sorted(gap_by.items(),
+                                          key=lambda kv: -kv[1])[:args.top]:
+                        print(f"{t*1e3:9.2f} ms idle x{gap_n[name]:7d}  "
+                              f"before {name[:110]}")
     if not printed:
         # CPU/host-only captures carry no device op line — summarize the
         # host event lines instead so the tool is still informative

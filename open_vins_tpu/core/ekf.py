@@ -242,7 +242,7 @@ def ekf_update(state: VioState, cfg: FilterConfig, H, res, r_diag,
     return new_state._replace(cov=cov)
 
 
-def kalman_update_math_info(cov, H, res, ranges):
+def kalman_update_math_info(cov, H, res, ranges, return_gamma=False):
     """Push-through (Woodbury) form of the EKF update — the single-solve
     path for a TALL row-whitened stack with static column support.
 
@@ -266,7 +266,9 @@ def kalman_update_math_info(cov, H, res, ranges):
     padded-row convention as `kalman_update_math`.
 
     H must already be whitened (rows divided by their noise std).
-    Returns (dx [D], new_cov [D,D]).
+    Returns (dx [D], new_cov [D,D]); with `return_gamma=True` also the χ²
+    statistic γ = resᵀ(H P Hᵀ + I)⁻¹res = resᵀres − gᵀP_ss(M⁻¹g), which
+    reuses the SAME LU solve — a free gate (the ZUPT shares it).
     """
     from open_vins_tpu.models.update_helper import take_cols
     from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
@@ -285,7 +287,29 @@ def kalman_update_math_info(cov, H, res, ranges):
     W, y = X[:, :D], X[:, D]
     dx = P_cols @ y
     new_cov = symmetric_downdate(cov, P_cols, W.T)
+    if return_gamma:
+        gamma = res @ res - g @ (P_ss @ y)
+        return dx, new_cov, gamma
     return dx, new_cov
+
+
+def chi2_gamma_info(cov, H, res, ranges):
+    """γ = resᵀ(H P Hᵀ + I)⁻¹res for a row-whitened H with static column
+    support — push-through form, one k×k solve instead of an m×m one
+    (m = stacked rows, k = |support|).  Same identity as
+    kalman_update_math_info's gate; used where the gate is needed WITHOUT
+    the update (e.g. the explicit-motion ZUPT applies a different H)."""
+    from open_vins_tpu.models.update_helper import take_cols
+
+    H_s = take_cols(H, ranges)
+    P_cols = take_cols(cov, ranges)
+    P_ss = take_cols(P_cols.T, ranges).T
+    k = H_s.shape[1]
+    G = H_s.T @ H_s
+    g = H_s.T @ res
+    M = jnp.eye(k, dtype=cov.dtype) + G @ P_ss
+    y = jnp.linalg.solve(M, g)
+    return res @ res - g @ (P_ss @ y)
 
 
 def ekf_update_info(state: VioState, cfg: FilterConfig, H, res,

@@ -74,13 +74,17 @@ class FilterConfig(NamedTuple):
     # sub-updates.  Closed-loop NEES/RMSE parity is pinned by
     # tests/test_e2e_sim.py + tests/test_slam.py (joint vs sequential).
     # False restores the reference-exact sequential ordering.
-    joint_update_form: str = "woodbury"  # how the joint vision system is
-    # applied: "woodbury" = push-through identity, ONE k×k LU solve on the
+    joint_update_form: str = "qr"  # how the joint vision system is applied:
+    # "qr" (default) = CholeskyQR2-compress then the standard S-Cholesky
+    # update; "woodbury" = push-through identity, ONE k×k LU solve on the
     # raw whitened stack (core/ekf.kalman_update_math_info — same algebra,
-    # no compression stage, fewest factorization launches on TPU);
-    # "qr" = CholeskyQR2-compress then the standard S-Cholesky update
-    # (the two are pinned against each other in tests/test_ekf.py and
-    # tests/test_slam.py closed loop).  Only read when joint_vision_update.
+    # pinned against qr by tests/test_ekf.py + the closed-loop suites).
+    # MEASURED on TPU v5e at the operating point (k=231): qr 652 fps vs
+    # woodbury 466 fps — the pivoted-getrf custom call serializes its row
+    # interchanges, costing more than the three paneled Cholesky launches
+    # it replaces.  Keep "qr" on TPU; "woodbury" may win where LU is cheap
+    # (CPU) or for small k (the ZUPT uses the same identity at k=9).
+    # Only read when joint_vision_update.
     fast_compress: bool = False  # OPT-IN normal-eq compression instead of
     # tall QR.  CAVEAT: in f32 the required Cholesky jitter (~eps*||H^T H||)
     # injects spurious information on weakly-constrained dims and corrupts

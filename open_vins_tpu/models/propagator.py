@@ -241,6 +241,33 @@ def _step_mean_analytic(q, p, v, xi, a_hat, dt, gravity):
     return q_new, p_new, v_new
 
 
+def _analytic_precompute(state: VioState, cfg: FilterConfig, win: ImuWindow,
+                         dtype):
+    """Batched carry-independent prologue of the analytic propagation.
+
+    Everything in the ACI² per-interval math that does not depend on the
+    integrated state — bias/intrinsic sample correction, the Ξ-series
+    (skews, exp/Jr, the full closed-form matrix soup of `_xi_sum`), the
+    interval quaternion — is a function of (ω̂, â, dt) only, so it is
+    computed for ALL window samples in one vmapped batch BEFORE the
+    sequential scan.  Inside the unrolled scan these were ~30 scalar-
+    assembled 3×3 builds per frame forming a serial dependency chain; the
+    TPU gap profile attributed ~0.2 ms/frame of device idle to them.
+    Returns per-interval (dts, w_hat, a_hat, u_wm, u_am, xis, dqs [K-1,4]).
+    """
+    dts = jnp.maximum(win.t[1:] - win.t[:-1], 0.0)
+    wc, ac, u_w, u_a = jax.vmap(lambda w, a: correct_imu(state, w, a))(
+        win.w, win.a)
+    w_hat = 0.5 * (wc[:-1] + wc[1:])
+    a_hat = 0.5 * (ac[:-1] + ac[1:])
+    u_wm = 0.5 * (u_w[:-1] + u_w[1:])
+    u_am = 0.5 * (u_a[:-1] + u_a[1:])
+    xis = jax.vmap(lambda w, a, dt: _xi_sum(w, a, dt, dtype))(
+        w_hat, a_hat, dts)
+    dqs = jax.vmap(lie.rot_2_quat)(xis[0])  # R_ktok1 -> interval quaternion
+    return dts, w_hat, a_hat, u_wm, u_am, xis, dqs
+
+
 def _phi_qd_analytic(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux, xi):
     """Analytic Φ/B/Qd (compute_F_and_G_analytic parity,
     Propagator.cpp:694-829, KALIBR model with R_atoI = I).
@@ -249,16 +276,15 @@ def _phi_qd_analytic(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux, xi):
     the bias/noise columns use the closed-form Ξ integrals instead of the
     first-order dt/dt² factors.
     """
-    q_lin, p_lin, v_lin = lin
-    q_new, p_new, v_new = new
+    R_k, p_lin, v_lin = lin    # rotations passed directly (carried through
+    R_new, p_new, v_new = new  # the scan; see _analytic_precompute)
     Dw, Da, Tg, R_w, w_hat, a_hat, u_w, u_a = aux
     _, Xi1, Xi2, Jr_ktok1, Xi3, Xi4 = xi
     RwDw = R_w @ Dw
     RwDwTg = RwDw @ Tg
 
-    R_k = lie.quat_2_rot(q_lin)
     R_kT = R_k.T
-    dR = lie.quat_2_rot(q_new) @ R_kT
+    dR = R_new @ R_kT
     dRJr = dR @ Jr_ktok1 * dt  # dR_ktok1 · Jr(−ω dt) · dt
 
     I3 = jnp.eye(3, dtype=dtype)
@@ -410,30 +436,73 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
     dtype = state.cov.dtype
     gravity = jnp.asarray([0.0, 0.0, cfg.gravity_mag], dtype=dtype)
     K = win.t.shape[0]
+    # unroll: a per-frame window is ~10 samples and a TPU while-loop pays
+    # per-iteration sync overhead comparable to the tiny body itself;
+    # unrolling lets XLA fuse across samples.  TPU-only and only for small
+    # windows — on CPU (the test platform) the rolled scan compiles ~2x
+    # faster at identical numerics, and a long catch-up propagate (hundreds
+    # of samples) must not inline its whole body.
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    unroll = on_tpu and K <= 20
 
-    def body(carry, k):
-        q, p, v, q_lin, p_lin, v_lin, Phi, B, Qd = carry
-        dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
-        # correct raw samples through biases + IMU intrinsics
-        w1c, a1c, u_w1, u_a1 = correct_imu(state, win.w[k], win.a[k])
-        w2c, a2c, u_w2, u_a2 = correct_imu(state, win.w[k + 1], win.a[k + 1])
-        zero3 = jnp.zeros(3, dtype)
+    if cfg.integration == "analytical":
+        # ACI² with interval-averaged corrected samples
+        # (predict_and_compute's w_hat_avg/a_hat_avg, Propagator.cpp:404-431).
+        # The Ξ-series/skew/exp/Jr matrix soup is carry-independent — built
+        # for all samples in one batch; the scan carries the estimate and
+        # linearization ROTATIONS (composed by 3×3 matmuls) so no step
+        # rebuilds a rotation from its quaternion scalar-by-scalar.
+        dts, w_hats, a_hats, u_wm, u_am, xis, dqs = _analytic_precompute(
+            state, cfg, win, dtype)
         Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
-        if cfg.integration == "analytical":
-            # ACI²: closed-form constant-(ω,a) integration over the interval
-            # with interval-averaged corrected samples
-            # (predict_and_compute's w_hat_avg/a_hat_avg, Propagator.cpp:404-431)
-            w_hat = 0.5 * (w1c + w2c)
-            a_hat = 0.5 * (a1c + a2c)
-            xi = _xi_sum(w_hat, a_hat, dt, dtype)
-            q2, p2, v2 = _step_mean_analytic(q, p, v, xi, a_hat, dt, gravity)
-            aux = (Dw, Da, Tg, R_w, w_hat, a_hat,
-                   0.5 * (u_w1 + u_w2), 0.5 * (u_a1 + u_a2))
+
+        def body(carry, k):
+            q, p, v, R_est, R_lin, p_lin, v_lin, Phi, B, Qd = carry
+            dt = dts[k]
+            xi = jax.tree_util.tree_map(lambda a: a[k], xis)
+            a_hat = a_hats[k]
+            q2 = lie.quat_multiply(dqs[k], q)
+            R2 = xi[0] @ R_est
+            R_estT = R_est.T
+            v2 = v + R_estT @ (xi[1] @ a_hat) - gravity * dt
+            p2 = p + v * dt + R_estT @ (xi[2] @ a_hat) \
+                - 0.5 * gravity * dt * dt
+            aux = (Dw, Da, Tg, R_w, w_hats[k], a_hat, u_wm[k], u_am[k])
             Phi_k, B_k, Qd_k = _phi_qd_analytic(
-                (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg,
-                dtype, aux, xi
-            )
-        else:
+                (R_lin, p_lin, v_lin), (R2, p2, v2), gravity, dt, cfg,
+                dtype, aux, xi)
+            # padded (dt=0) intervals must be exact no-ops even when the
+            # linearization point differs from the estimate
+            Phi_k = jnp.where(dt > 0, Phi_k, jnp.eye(15, dtype=dtype))
+            B_k = jnp.where(dt > 0, B_k, 0.0)
+            Qd_k = jnp.where(dt > 0, Qd_k, 0.0)
+            Phi_new = Phi_k @ Phi
+            B_new = Phi_k @ B + B_k
+            Qd_new = Phi_k @ Qd @ Phi_k.T + Qd_k
+            # FEJ bookkeeping (Propagator.cpp:473-479): after the step the
+            # linearization point tracks the propagated mean
+            return (q2, p2, v2, R2, R2, p2, v2,
+                    Phi_new, B_new, Qd_new), None
+
+        init = (
+            state.q, state.p, state.v,
+            lie.quat_2_rot(state.q), lie.quat_2_rot(state.q_fej),
+            state.p_fej, state.v_fej,
+            jnp.eye(15, dtype=dtype), jnp.zeros((15, 24), dtype=dtype),
+            jnp.zeros((15, 15), dtype=dtype),
+        )
+        (q, p, v, _, _, _, _, Phi, B, Qd), _ = jax.lax.scan(
+            body, init, jnp.arange(K - 1), unroll=unroll)
+    else:
+        def body(carry, k):
+            q, p, v, q_lin, p_lin, v_lin, Phi, B, Qd = carry
+            dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
+            # correct raw samples through biases + IMU intrinsics
+            w1c, a1c, u_w1, u_a1 = correct_imu(state, win.w[k], win.a[k])
+            w2c, a2c, u_w2, u_a2 = correct_imu(state, win.w[k + 1],
+                                               win.a[k + 1])
+            zero3 = jnp.zeros(3, dtype)
+            Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
             q2, p2, v2, w_hat, a_hat = _step_mean(
                 q, p, v, zero3, zero3, w1c, a1c, w2c, a2c, dt, gravity,
                 cfg.integration
@@ -443,37 +512,31 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
                 (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg,
                 dtype, aux
             )
-        # padded (dt=0) intervals must be exact no-ops even when the
-        # linearization point differs from the estimate
-        Phi_k = jnp.where(dt > 0, Phi_k, jnp.eye(15, dtype=dtype))
-        B_k = jnp.where(dt > 0, B_k, 0.0)
-        Qd_k = jnp.where(dt > 0, Qd_k, 0.0)
-        # composition with identity dynamics on the intrinsic block:
-        # [[A',B'],[0,I]] = [[A_k,B_k],[0,I]] @ [[A,B],[0,I]]
-        Phi_new = Phi_k @ Phi
-        B_new = Phi_k @ B + B_k
-        Qd_new = Phi_k @ Qd @ Phi_k.T + Qd_k
-        # FEJ bookkeeping (Propagator.cpp:473-479): after the step, the
-        # linearization point tracks the propagated mean; only the first
-        # post-update interval linearizes at the pre-update first estimate.
-        return (q2, p2, v2, q2, p2, v2, Phi_new, B_new, Qd_new), None
+            # padded (dt=0) intervals must be exact no-ops even when the
+            # linearization point differs from the estimate
+            Phi_k = jnp.where(dt > 0, Phi_k, jnp.eye(15, dtype=dtype))
+            B_k = jnp.where(dt > 0, B_k, 0.0)
+            Qd_k = jnp.where(dt > 0, Qd_k, 0.0)
+            # composition with identity dynamics on the intrinsic block:
+            # [[A',B'],[0,I]] = [[A_k,B_k],[0,I]] @ [[A,B],[0,I]]
+            Phi_new = Phi_k @ Phi
+            B_new = Phi_k @ B + B_k
+            Qd_new = Phi_k @ Qd @ Phi_k.T + Qd_k
+            # FEJ bookkeeping (Propagator.cpp:473-479): after the step, the
+            # linearization point tracks the propagated mean; only the first
+            # post-update interval linearizes at the pre-update first
+            # estimate.
+            return (q2, p2, v2, q2, p2, v2, Phi_new, B_new, Qd_new), None
 
-    init = (
-        state.q, state.p, state.v,
-        state.q_fej, state.p_fej, state.v_fej,
-        jnp.eye(15, dtype=dtype), jnp.zeros((15, 24), dtype=dtype),
-        jnp.zeros((15, 15), dtype=dtype),
-    )
-    # unroll: a per-frame window is ~10 samples and a TPU while-loop pays
-    # per-iteration sync overhead comparable to the tiny body itself;
-    # unrolling lets XLA fuse across samples.  TPU-only and only for small
-    # windows — on CPU (the test platform) the rolled scan compiles ~2x
-    # faster at identical numerics, and a long catch-up propagate (hundreds
-    # of samples) must not inline its whole body.
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    (q, p, v, _, _, _, Phi, B, Qd), _ = jax.lax.scan(
-        body, init, jnp.arange(K - 1), unroll=(on_tpu and K <= 20)
-    )
+        init = (
+            state.q, state.p, state.v,
+            state.q_fej, state.p_fej, state.v_fej,
+            jnp.eye(15, dtype=dtype), jnp.zeros((15, 24), dtype=dtype),
+            jnp.zeros((15, 15), dtype=dtype),
+        )
+        (q, p, v, _, _, _, Phi, B, Qd), _ = jax.lax.scan(
+            body, init, jnp.arange(K - 1), unroll=unroll
+        )
     Qd = 0.5 * (Qd + Qd.T)
 
     use_B = cfg.calib_imu_intrinsics or cfg.calib_imu_g_sensitivity

@@ -92,10 +92,16 @@ def try_zupt(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new,
     cov_inflated = state.cov + jnp.diag(q_diag)
     st_infl = state._replace(cov=cov_inflated)
 
-    # chi2 against the inflated covariance with the noise multiplier
+    # chi2 + update share ONE push-through solve on the static {θ, bg, ba}
+    # support (k=9 instead of the 6K-row S): whiten by the noise
+    # multiplier, then γ and (dx, P⁺) come out of the same k×k LU
+    # (invalid-sample rows are exact zeros from build_system — no-ops).
     r_mult = jnp.asarray(cfg.zupt_noise_multiplier, dtype=dtype)
-    S = H @ cov_inflated @ H.T + r_mult * jnp.eye(H.shape[0], dtype=dtype)
-    gamma = res @ jnp.linalg.solve(S, res)
+    inv_sq = jax.lax.rsqrt(r_mult)
+    sup = ((cfg.th_off, cfg.th_off + 3), (cfg.bg_off, cfg.ba_off + 3))
+    dx, cov_up, gamma = ekf.kalman_update_math_info(
+        cov_inflated, H * inv_sq, jnp.where(mask, res, 0.0) * inv_sq, sup,
+        return_gamma=True)
     dof = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
     if cfg.zupt_chi2_multiplier > 0:
         chi2_ok = jnp.isfinite(gamma) & (
@@ -109,9 +115,7 @@ def try_zupt(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new,
     if cfg.zupt_only_at_beginning:
         accepted = accepted & (~state.moved)
 
-    r_diag = jnp.where(mask, r_mult, 1.0)
-    res_m = jnp.where(mask, res, 0.0)
-    new_state = ekf.ekf_update(st_infl, cfg, H, res_m, r_diag)
+    new_state = ekf.boxplus(st_infl, cfg, dx)._replace(cov=cov_up)
     new_state = new_state._replace(t=jnp.asarray(t_new, dtype=dtype))
     out = jax.tree_util.tree_map(
         lambda a, b: jnp.where(accepted, a, b), new_state, state
@@ -144,11 +148,14 @@ def try_zupt_explicit(state: VioState, cfg: FilterConfig, win: ImuWindow,
     D = cfg.state_dim
     dtype = state.cov.dtype
 
-    # shared gating on the direct whitened system (…:198-247)
+    # shared gating on the direct whitened system (…:198-247) — push-through
+    # form on the k=9 static support instead of the 6K-row S solve
     H_g, res_g, mask_g = build_system(state, cfg, win)
     r_mult = jnp.asarray(cfg.zupt_noise_multiplier, dtype=dtype)
-    S = H_g @ state.cov @ H_g.T + r_mult * jnp.eye(H_g.shape[0], dtype=dtype)
-    gamma = res_g @ jnp.linalg.solve(S, res_g)
+    inv_sq = jax.lax.rsqrt(r_mult)
+    sup_g = ((cfg.th_off, cfg.th_off + 3), (cfg.bg_off, cfg.ba_off + 3))
+    gamma = ekf.chi2_gamma_info(state.cov, H_g * inv_sq, res_g * inv_sq,
+                                sup_g)
     dof = jnp.maximum(jnp.sum(mask_g.astype(jnp.int32)), 1)
     if cfg.zupt_chi2_multiplier > 0:
         chi2_ok = jnp.isfinite(gamma) & (
