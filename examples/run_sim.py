@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     ap.add_argument("--num-pts", type=int, default=45)
     ap.add_argument("--clones", type=int, default=11)
+    ap.add_argument("--max-slam", type=int, default=0)
+    ap.add_argument("--msckf", type=int, default=30,
+                    help="max MSCKF features per update")
+    ap.add_argument("--integration", default="rk4",
+                    choices=["discrete", "rk4", "analytical"])
+    ap.add_argument("--max-tracks", type=int, default=256)
     ap.add_argument("--plot", default="", help="write state-error/3σ plot PNG")
     ap.add_argument("--save-est", default="", help="write TUM estimate file")
     ap.add_argument("--save-gt", default="", help="write TUM groundtruth file")
@@ -55,8 +61,9 @@ def main():
         imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=args.num_pts,
         map_size=2048, duration=args.duration, sigma_pix=1.0,
     )
-    cfg = FilterConfig(max_clones=args.clones, max_slam=0, num_cams=1,
-                       max_msckf_in_update=30)
+    cfg = FilterConfig(max_clones=args.clones, max_slam=args.max_slam,
+                       num_cams=1, max_msckf_in_update=args.msckf,
+                       integration=args.integration)
     tri_opts = tri.TriangulationOptions()
 
     print(f"devices: {jax.devices()}")
@@ -66,7 +73,8 @@ def main():
     jax.block_until_ready(run.frames.uv)
     print(f"staged {simulator.n_cam_frames(params)} frames in {time.time()-t0:.1f}s")
 
-    fil = jax.jit(lambda r: runner.run_filter(cfg, tri_opts, sim, params, r))
+    fil = jax.jit(lambda r: runner.run_filter(cfg, tri_opts, sim, params, r,
+                                              max_tracks=args.max_tracks))
     t0 = time.time()
     state, outs = fil(run)
     jax.block_until_ready(state.cov)

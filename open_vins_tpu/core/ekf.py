@@ -215,15 +215,24 @@ def kalman_update_math(cov, H, res, r_diag, fuse_downdate=True, ranges=None):
         PHt = cov @ H.T  # [D, m]
         S = H @ PHt + jnp.diag(r_diag)
     S = 0.5 * (S + S.T)
-    chol = jax.scipy.linalg.cho_factor(S, lower=True)
-    K = jax.scipy.linalg.cho_solve(chol, PHt.T).T  # [D, m]
-    dx = K @ res
+    # One-sweep form: with L = chol(S) and Y = L⁻¹[PHtᵀ | res],
+    #   dx = K res = Y₁ᵀ y,   P⁺ = P − K S Kᵀ = P − Y₁ᵀ Y₁
+    # — the explicit gain K = P Hᵀ S⁻¹ (and its second triangular sweep,
+    # another blocked custom call on the latency-bound critical path) never
+    # needs to be formed, and the downdate term is symmetric by
+    # construction instead of by averaging.
+    L = jnp.linalg.cholesky(S)
+    D = cov.shape[0]
+    Yt = jax.scipy.linalg.solve_triangular(
+        L, jnp.concatenate([PHt.T, res[:, None]], axis=1), lower=True)
+    Y1, y = Yt[:, :D], Yt[:, D]
+    dx = Y1.T @ y
     if fuse_downdate:
         from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
 
-        new_cov = symmetric_downdate(cov, K, PHt)
+        new_cov = symmetric_downdate(cov, Y1.T, Y1.T)
     else:
-        new_cov = cov - K @ PHt.T
+        new_cov = cov - Y1.T @ Y1
         new_cov = 0.5 * (new_cov + new_cov.T)
     return dx, new_cov
 
@@ -376,9 +385,10 @@ def initialize_landmark(
     H_x = jnp.where(row_mask[:, None], H_x, 0.0)
     res = jnp.where(row_mask, res, 0.0)
 
-    Q, R_full = jnp.linalg.qr(H_f, mode="complete")  # Q [m,m], R [m,3]
-    Hx_rot = Q.T @ H_x
-    res_rot = Q.T @ res
+    from open_vins_tpu.models.update_helper import householder_rotate
+
+    R_full, B = householder_rotate(H_f, jnp.concatenate([H_x, res[:, None]], 1))
+    Hx_rot, res_rot = B[:, :-1], B[:, -1]
     R1 = R_full[:3, :3]  # upper triangular
     Hx1 = Hx_rot[:3]  # [3, D]
     res1 = res_rot[:3]
@@ -459,9 +469,10 @@ def initialize_landmark_single(
     H_x = jnp.where(row_mask[:, None], H_x, 0.0)
     res = jnp.where(row_mask, res, 0.0)
 
-    Q, R_full = jnp.linalg.qr(h_f, mode="complete")  # Q [m,m], R [m,1]
-    Hx_rot = Q.T @ H_x
-    res_rot = Q.T @ res
+    from open_vins_tpu.models.update_helper import householder_rotate
+
+    R_full, B = householder_rotate(h_f, jnp.concatenate([H_x, res[:, None]], 1))
+    Hx_rot, res_rot = B[:, :-1], B[:, -1]
     r1 = R_full[0, 0]
     r1_inv = jnp.where(jnp.abs(r1) > 1e-9, 1.0 / r1, 0.0)
     Hx1 = Hx_rot[0:1]  # [1, D]

@@ -425,6 +425,61 @@ def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux):
     return Phi, B, Qd
 
 
+def _compose_transitions(Phis, Bs, Qds):
+    """Tree-reduce the interval transitions into the whole-window (Φ, B, Qd).
+
+    The per-interval composition
+        Φ' = Φ_k Φ,  B' = Φ_k B + B_k,  Qd' = Φ_k Qd Φ_kᵀ + Qd_k
+    is ASSOCIATIVE (affine maps on the (mean, covariance) pair compose), so
+    the K−1-step sequential chain — ~4 dependent 15×15 matmuls per interval
+    on the jit critical path — becomes ⌈log₂(K−1)⌉ levels of *batched*
+    matmuls.  Identity padding (Φ=I, B=0, Qd=0) is the same no-op convention
+    the dt=0 rows already carry, so padding to a power of two is exact.
+
+    Inputs [n,15,15] / [n,15,24] / [n,15,15] ordered oldest interval first.
+    """
+    n = Phis.shape[0]
+    N = 1 << max(n - 1, 0).bit_length() if n > 1 else 1
+    if N != n:
+        pad = N - n
+        I = jnp.broadcast_to(jnp.eye(15, dtype=Phis.dtype), (pad, 15, 15))
+        Phis = jnp.concatenate([Phis, I])
+        Bs = jnp.concatenate([Bs, jnp.zeros((pad,) + Bs.shape[1:], Bs.dtype)])
+        Qds = jnp.concatenate([Qds, jnp.zeros((pad, 15, 15), Qds.dtype)])
+    while N > 1:
+        N //= 2
+        Pe = Phis.reshape(N, 2, 15, 15)
+        Be = Bs.reshape(N, 2, 15, Bs.shape[-1])
+        Qe = Qds.reshape(N, 2, 15, 15)
+        P0, P1 = Pe[:, 0], Pe[:, 1]  # 0 = earlier, 1 = later (applied after)
+        B0, B1 = Be[:, 0], Be[:, 1]
+        Q0, Q1 = Qe[:, 0], Qe[:, 1]
+        Phis = P1 @ P0
+        Bs = P1 @ B0 + B1
+        Qds = P1 @ Q0 @ jnp.swapaxes(P1, -1, -2) + Q1
+    return Phis[0], Bs[0], Qds[0]
+
+
+def _rotation_prefixes(R_steps):
+    """Inclusive prefix products pref[k] = R_steps[k] @ … @ R_steps[0].
+
+    `fn(x, y) = y @ x` (x the earlier-accumulated product) is associative,
+    so `lax.associative_scan` evaluates the chain in ⌈log₂ n⌉ levels of
+    batched 3×3 matmuls instead of n dependent ones.
+    """
+    return jax.lax.associative_scan(
+        lambda x, y: jnp.matmul(y, x), R_steps)
+
+
+def _mask_padded(Phis, Bs, Qds, dts, dtype):
+    """Padded (dt=0) intervals must be exact no-ops even when the
+    linearization point differs from the estimate."""
+    ok = (dts > 0)[:, None, None]
+    I = jnp.broadcast_to(jnp.eye(15, dtype=dtype), Phis.shape)
+    return (jnp.where(ok, Phis, I), jnp.where(ok, Bs, 0.0),
+            jnp.where(ok, Qds, 0.0))
+
+
 def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioState:
     """Propagate mean + covariance to t_new using the IMU window.
 
@@ -432,111 +487,108 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
     (Propagator.cpp:71-130): per-interval (Φ, Qd) composed across the window,
     then one block-sparse covariance application; FEJ values of the IMU state
     are reset to the propagated estimate (no update happened in between).
+
+    TPU-first structure (the round-2 gap profile attributed ~0.2 ms/frame of
+    idle to the old unrolled per-interval chain): only the *mean* recursion
+    is sequential — and for the analytic integrator not even that — while the
+    Φ/B/Qd "matrix soup" of every interval is built in ONE vmapped batch from
+    the stacked per-interval means, then composed by `_compose_transitions`'
+    log-depth tree.  Per-frame device work drops from ~K·40 dependent small
+    ops to: [batched prologue] → [short mean chain or prefix scan] →
+    [one batched soup] → [log₂K batched 15×15 levels].
     """
     dtype = state.cov.dtype
     gravity = jnp.asarray([0.0, 0.0, cfg.gravity_mag], dtype=dtype)
     K = win.t.shape[0]
-    # unroll: a per-frame window is ~10 samples and a TPU while-loop pays
-    # per-iteration sync overhead comparable to the tiny body itself;
-    # unrolling lets XLA fuse across samples.  TPU-only and only for small
-    # windows — on CPU (the test platform) the rolled scan compiles ~2x
-    # faster at identical numerics, and a long catch-up propagate (hundreds
-    # of samples) must not inline its whole body.
+    # unroll the (now mean-only) scan: a per-frame window is ~10 samples and
+    # a TPU while-loop pays per-iteration sync overhead comparable to the
+    # tiny body itself.  TPU-only and only for small windows — on CPU (the
+    # test platform) the rolled scan compiles ~2x faster at identical
+    # numerics, and a long catch-up propagate must not inline its body.
     on_tpu = jax.default_backend() in ("tpu", "axon")
     unroll = on_tpu and K <= 20
+    Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
 
     if cfg.integration == "analytical":
         # ACI² with interval-averaged corrected samples
         # (predict_and_compute's w_hat_avg/a_hat_avg, Propagator.cpp:404-431).
-        # The Ξ-series/skew/exp/Jr matrix soup is carry-independent — built
-        # for all samples in one batch; the scan carries the estimate and
-        # linearization ROTATIONS (composed by 3×3 matmuls) so no step
-        # rebuilds a rotation from its quaternion scalar-by-scalar.
+        # The mean trajectory is CLOSED FORM given the interval rotations:
+        # rotation prefixes by associative scan, then v/p by two cumsums —
+        # no sequential scan at all.
         dts, w_hats, a_hats, u_wm, u_am, xis, dqs = _analytic_precompute(
             state, cfg, win, dtype)
-        Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
+        R0 = lie.quat_2_rot(state.q)
+        pref = _rotation_prefixes(xis[0])  # pref[k] = R_{0→k+1}
+        R_end = pref @ R0                  # R_GtoI at interval ends
+        R_start = jnp.concatenate([R0[None], R_end[:-1]], axis=0)
+        # (plain batched matmuls, not einsum — see the axon rotation-
+        # corruption note in manager.gather_feature_obs)
+        R_startT = jnp.swapaxes(R_start, -1, -2)
+        a_col = a_hats[..., None]
+        # v_{k+1} = v_k + R_startᵀ(Ξ₁ a) − g dt   (prefix-summable)
+        acc_v = ((R_startT @ (xis[1] @ a_col))[..., 0]
+                 - gravity[None] * dts[:, None])
+        v_end = state.v[None] + jnp.cumsum(acc_v, axis=0)
+        v_start = jnp.concatenate([state.v[None], v_end[:-1]], axis=0)
+        # p_{k+1} = p_k + v_k dt + R_startᵀ(Ξ₂ a) − ½ g dt²
+        acc_p = (v_start * dts[:, None]
+                 + (R_startT @ (xis[2] @ a_col))[..., 0]
+                 - 0.5 * gravity[None] * (dts * dts)[:, None])
+        p_end = state.p[None] + jnp.cumsum(acc_p, axis=0)
+        p_start = jnp.concatenate([state.p[None], p_end[:-1]], axis=0)
+        # quaternion mean: one conversion of the composed window rotation
+        # (the old per-step quat chain, re-associated; same rotation to f32)
+        q = lie.quat_multiply(lie.rot_2_quat(pref[-1]), state.q)
+        p, v = p_end[-1], v_end[-1]
 
-        def body(carry, k):
-            q, p, v, R_est, R_lin, p_lin, v_lin, Phi, B, Qd = carry
-            dt = dts[k]
-            xi = jax.tree_util.tree_map(lambda a: a[k], xis)
-            a_hat = a_hats[k]
-            q2 = lie.quat_multiply(dqs[k], q)
-            R2 = xi[0] @ R_est
-            R_estT = R_est.T
-            v2 = v + R_estT @ (xi[1] @ a_hat) - gravity * dt
-            p2 = p + v * dt + R_estT @ (xi[2] @ a_hat) \
-                - 0.5 * gravity * dt * dt
-            aux = (Dw, Da, Tg, R_w, w_hats[k], a_hat, u_wm[k], u_am[k])
-            Phi_k, B_k, Qd_k = _phi_qd_analytic(
-                (R_lin, p_lin, v_lin), (R2, p2, v2), gravity, dt, cfg,
-                dtype, aux, xi)
-            # padded (dt=0) intervals must be exact no-ops even when the
-            # linearization point differs from the estimate
-            Phi_k = jnp.where(dt > 0, Phi_k, jnp.eye(15, dtype=dtype))
-            B_k = jnp.where(dt > 0, B_k, 0.0)
-            Qd_k = jnp.where(dt > 0, Qd_k, 0.0)
-            Phi_new = Phi_k @ Phi
-            B_new = Phi_k @ B + B_k
-            Qd_new = Phi_k @ Qd @ Phi_k.T + Qd_k
-            # FEJ bookkeeping (Propagator.cpp:473-479): after the step the
-            # linearization point tracks the propagated mean
-            return (q2, p2, v2, R2, R2, p2, v2,
-                    Phi_new, B_new, Qd_new), None
+        # FEJ bookkeeping (Propagator.cpp:473-479): only the first interval
+        # linearizes at the pre-update first estimate; afterwards the
+        # linearization point tracks the propagated mean.
+        R_lin = R_start.at[0].set(lie.quat_2_rot(state.q_fej))
+        p_lin = p_start.at[0].set(state.p_fej)
+        v_lin = v_start.at[0].set(state.v_fej)
 
-        init = (
-            state.q, state.p, state.v,
-            lie.quat_2_rot(state.q), lie.quat_2_rot(state.q_fej),
-            state.p_fej, state.v_fej,
-            jnp.eye(15, dtype=dtype), jnp.zeros((15, 24), dtype=dtype),
-            jnp.zeros((15, 15), dtype=dtype),
-        )
-        (q, p, v, _, _, _, _, Phi, B, Qd), _ = jax.lax.scan(
-            body, init, jnp.arange(K - 1), unroll=unroll)
+        Phis, Bs, Qds = jax.vmap(
+            lambda Rl, pl, vl, Re, pe, ve, dt, wk, ak, uw, ua, xi:
+            _phi_qd_analytic((Rl, pl, vl), (Re, pe, ve), gravity, dt, cfg,
+                             dtype, (Dw, Da, Tg, R_w, wk, ak, uw, ua), xi)
+        )(R_lin, p_lin, v_lin, R_end, p_end, v_end, dts, w_hats, a_hats,
+          u_wm, u_am, xis)
     else:
-        def body(carry, k):
-            q, p, v, q_lin, p_lin, v_lin, Phi, B, Qd = carry
-            dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
-            # correct raw samples through biases + IMU intrinsics
-            w1c, a1c, u_w1, u_a1 = correct_imu(state, win.w[k], win.a[k])
-            w2c, a2c, u_w2, u_a2 = correct_imu(state, win.w[k + 1],
-                                               win.a[k + 1])
-            zero3 = jnp.zeros(3, dtype)
-            Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
-            q2, p2, v2, w_hat, a_hat = _step_mean(
-                q, p, v, zero3, zero3, w1c, a1c, w2c, a2c, dt, gravity,
-                cfg.integration
-            )
-            aux = (Dw, Da, Tg, R_w, w_hat, a_hat, u_w1, u_a1)
-            Phi_k, B_k, Qd_k = _phi_qd(
-                (q_lin, p_lin, v_lin), (q2, p2, v2), gravity, dt, cfg,
-                dtype, aux
-            )
-            # padded (dt=0) intervals must be exact no-ops even when the
-            # linearization point differs from the estimate
-            Phi_k = jnp.where(dt > 0, Phi_k, jnp.eye(15, dtype=dtype))
-            B_k = jnp.where(dt > 0, B_k, 0.0)
-            Qd_k = jnp.where(dt > 0, Qd_k, 0.0)
-            # composition with identity dynamics on the intrinsic block:
-            # [[A',B'],[0,I]] = [[A_k,B_k],[0,I]] @ [[A,B],[0,I]]
-            Phi_new = Phi_k @ Phi
-            B_new = Phi_k @ B + B_k
-            Qd_new = Phi_k @ Qd @ Phi_k.T + Qd_k
-            # FEJ bookkeeping (Propagator.cpp:473-479): after the step, the
-            # linearization point tracks the propagated mean; only the first
-            # post-update interval linearizes at the pre-update first
-            # estimate.
-            return (q2, p2, v2, q2, p2, v2, Phi_new, B_new, Qd_new), None
+        # discrete/RK4: the mean recursion is genuinely sequential, but the
+        # scan now carries ONLY (q, p, v) — the Φ/B/Qd soup moves to one
+        # vmapped batch over the stacked means below.
+        dts = jnp.maximum(win.t[1:] - win.t[:-1], 0.0)
+        wc, ac, u_w, u_a = jax.vmap(lambda w, a: correct_imu(state, w, a))(
+            win.w, win.a)
+        zero3 = jnp.zeros(3, dtype)
 
-        init = (
-            state.q, state.p, state.v,
-            state.q_fej, state.p_fej, state.v_fej,
-            jnp.eye(15, dtype=dtype), jnp.zeros((15, 24), dtype=dtype),
-            jnp.zeros((15, 15), dtype=dtype),
-        )
-        (q, p, v, _, _, _, Phi, B, Qd), _ = jax.lax.scan(
-            body, init, jnp.arange(K - 1), unroll=unroll
-        )
+        def body(carry, k):
+            q, p, v = carry
+            q2, p2, v2, w_hat, a_hat = _step_mean(
+                q, p, v, zero3, zero3, wc[k], ac[k], wc[k + 1], ac[k + 1],
+                dts[k], gravity, cfg.integration
+            )
+            return (q2, p2, v2), (q2, p2, v2, w_hat, a_hat)
+
+        _, (q_end, p_end, v_end, w_hats, a_hats) = jax.lax.scan(
+            body, (state.q, state.p, state.v), jnp.arange(K - 1),
+            unroll=unroll)
+        q, p, v = q_end[-1], p_end[-1], v_end[-1]
+
+        q_lin = jnp.concatenate([state.q_fej[None], q_end[:-1]], axis=0)
+        p_lin = jnp.concatenate([state.p_fej[None], p_end[:-1]], axis=0)
+        v_lin = jnp.concatenate([state.v_fej[None], v_end[:-1]], axis=0)
+
+        Phis, Bs, Qds = jax.vmap(
+            lambda ql, pl, vl, qe, pe, ve, dt, wk, ak, uw, ua:
+            _phi_qd((ql, pl, vl), (qe, pe, ve), gravity, dt, cfg, dtype,
+                    (Dw, Da, Tg, R_w, wk, ak, uw, ua))
+        )(q_lin, p_lin, v_lin, q_end, p_end, v_end, dts, w_hats, a_hats,
+          u_w[:-1], u_a[:-1])
+
+    Phis, Bs, Qds = _mask_padded(Phis, Bs, Qds, dts, dtype)
+    Phi, B, Qd = _compose_transitions(Phis, Bs, Qds)
     Qd = 0.5 * (Qd + Qd.T)
 
     use_B = cfg.calib_imu_intrinsics or cfg.calib_imu_g_sensitivity

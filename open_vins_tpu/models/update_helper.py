@@ -154,6 +154,39 @@ def feature_jacobian(
     return H_x, H_f, res, row_mask
 
 
+def householder_rotate(H_f, M):
+    """Apply Qᵀ — the complete-QR orthogonal factor of H_f [m, k] — to both
+    H_f and M [m, n], LAPACK-free.
+
+    The k reflectors are built and applied as unrolled rank-1 batched vector
+    ops (k is tiny: 1–3), so under a feature vmap this fuses into a handful
+    of batched multiply-adds instead of a geqrf+orgqr custom-call pair whose
+    tiny per-feature factorizations execute serially on TPU (profiled ~8 us
+    per frame per call site at the operating point, plus the launch tax).
+
+    Returns (R_f [m, k], QtM [m, n]): R_f upper-triangular in its leading
+    k×k block (up to sign conventions identical to jnp.linalg.qr), rows k:
+    of QtM spanning the left-nullspace image — exactly the contract of the
+    complete-QR path it replaces (both apply *an* orthonormal basis, and
+    every consumer is invariant to which one).  All-zero columns yield
+    identity reflectors (exact no-ops), matching the masked-row convention.
+    """
+    m, k = H_f.shape
+    ridx = jnp.arange(m)
+    A, B = H_f, M
+    for j in range(k):
+        x = jnp.where(ridx >= j, A[:, j], 0.0)
+        normx = jnp.sqrt(jnp.sum(x * x))
+        sgn = jnp.where(A[j, j] >= 0, 1.0, -1.0)
+        beta = -sgn * normx
+        v = x - beta * (ridx == j).astype(A.dtype)
+        vn2 = jnp.sum(v * v)
+        scale = jnp.where(vn2 > 1e-30, 2.0 / vn2, 0.0)
+        A = A - (scale * v)[:, None] * (v @ A)[None, :]
+        B = B - (scale * v)[:, None] * (v @ B)[None, :]
+    return A, B
+
+
 def nullspace_project(H_x, H_f, res):
     """Left-nullspace projection of H_f (UpdaterHelper.cpp:426-454 parity).
 
@@ -162,14 +195,9 @@ def nullspace_project(H_x, H_f, res):
     rows are exactly zero (orthogonal complement of a rank-3 column space).
     Inputs must already have invalid rows zeroed.
     """
-    m = H_f.shape[0]
-    Q, _ = jnp.linalg.qr(H_f, mode="complete")  # [m, m]
-    H_proj = Q.T @ H_x
-    res_proj = Q.T @ res
+    _, B = householder_rotate(H_f, jnp.concatenate([H_x, res[:, None]], 1))
     # discard the first 3 rows (the H_f column space)
-    H_proj = H_proj[3:]
-    res_proj = res_proj[3:]
-    return H_proj, res_proj
+    return B[3:, :-1], B[3:, -1]
 
 
 def _round_up(x, m):

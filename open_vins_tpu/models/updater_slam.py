@@ -263,14 +263,16 @@ def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
             # does NOT treat the stored bearing as true
             # (UpdaterSLAM.cpp:190-206)
             h_rho = H_lam[:, 2:3]
-            Qb, _ = jnp.linalg.qr(
+            Dx = H_x.shape[1]
+            _, Mr = uh.householder_rotate(
                 jnp.where(row_mask[:, None], H_lam[:, :2], 0.0),
-                mode="complete")
-            H_x = (Qb.T @ jnp.where(row_mask[:, None], H_x, 0.0)
-                   ).at[:2].set(0.0)
-            h_rho = (Qb.T @ jnp.where(row_mask[:, None], h_rho, 0.0)
-                     ).at[:2].set(0.0)
-            res_s = (Qb.T @ jnp.where(row_mask, res, 0.0)).at[:2].set(0.0)
+                jnp.concatenate([
+                    jnp.where(row_mask[:, None], H_x, 0.0),
+                    jnp.where(row_mask[:, None], h_rho, 0.0),
+                    jnp.where(row_mask, res, 0.0)[:, None]], 1))
+            H_x = Mr[:, :Dx].at[:2].set(0.0)
+            h_rho = Mr[:, Dx:Dx + 1].at[:2].set(0.0)
+            res_s = Mr[:, -1].at[:2].set(0.0)
             rmask = jnp.arange(res.shape[0]) >= 2
             # λ = [ρ, b_x, b_y] — bearing from the current anchor frame
             lam0_s = jnp.stack([lam0[2], lam0[0], lam0[1]])
@@ -500,23 +502,25 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
         if single:
             # bearing columns nullspace-projected out; rho is the 1-dof state
             h_rho = H_lam[:, 2:3]
-            Qb, _ = jnp.linalg.qr(
+            Dx = H_x.shape[1]
+            _, Mr = uh.householder_rotate(
                 jnp.where(row_mask[:, None], H_lam[:, :2], 0.0),
-                mode="complete")
-            H_x_m = (Qb.T @ jnp.where(row_mask[:, None], H_x, 0.0)
-                     ).at[:2].set(0.0)
-            H_lam_m = (Qb.T @ jnp.where(row_mask[:, None], h_rho, 0.0)
-                       ).at[:2].set(0.0)
-            res_m = (Qb.T @ jnp.where(row_mask, res, 0.0)).at[:2].set(0.0)
+                jnp.concatenate([
+                    jnp.where(row_mask[:, None], H_x, 0.0),
+                    jnp.where(row_mask[:, None], h_rho, 0.0),
+                    jnp.where(row_mask, res, 0.0)[:, None]], 1))
+            H_x_m = Mr[:, :Dx].at[:2].set(0.0)
+            H_lam_m = Mr[:, Dx:Dx + 1].at[:2].set(0.0)
+            res_m = Mr[:, -1].at[:2].set(0.0)
             lam0 = jnp.stack([lam0[2], lam0[0], lam0[1]])
             extra_ok = extra_ok & (jnp.linalg.norm(H_lam_m) > 1e-6)
         else:
             H_lam_m = jnp.where(row_mask[:, None], H_lam, 0.0)
             H_x_m = jnp.where(row_mask[:, None], H_x, 0.0)
             res_m = jnp.where(row_mask, res, 0.0)
-        Q, R_full = jnp.linalg.qr(H_lam_m, mode="complete")
-        Hx_rot = Q.T @ H_x_m
-        res_rot = Q.T @ res_m
+        R_full, Br = uh.householder_rotate(
+            H_lam_m, jnp.concatenate([H_x_m, res_m[:, None]], 1))
+        Hx_rot, res_rot = Br[:, :-1], Br[:, -1]
         return (lam0, R_full[:k, :k], Hx_rot[:k], res_rot[:k],
                 Hx_rot[k:], res_rot[k:], n_valid, extra_ok)
 
@@ -728,9 +732,10 @@ def build_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
                 state, cfg, slot, H_x, H_fg, p_G_cur,
                 rep=lrep.ANCHORED_MSCKF_INVERSE_DEPTH)
             H_full = _set_slam_cols(H_x, cfg, slot, H_lam3[:, 2:3])
-            Qb, _ = jnp.linalg.qr(H_lam3[:, :2], mode="complete")
-            H_full = (Qb.T @ H_full).at[:2].set(0.0)
-            res = (Qb.T @ res).at[:2].set(0.0)
+            _, Mr = uh.householder_rotate(
+                H_lam3[:, :2], jnp.concatenate([H_full, res[:, None]], 1))
+            H_full = Mr[:, :-1].at[:2].set(0.0)
+            res = Mr[:, -1].at[:2].set(0.0)
             out_mask = jnp.arange(res.shape[0]) >= 2
             dof = jnp.maximum(n_valid - 2, 1)
             min_rows = 4  # required_meas = 2 obs (UpdaterSLAM.cpp:286)

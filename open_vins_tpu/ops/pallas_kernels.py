@@ -13,8 +13,6 @@ equivalence is tested in interpret mode).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -138,3 +136,16 @@ def householder_qr_blocks_pallas(A_blocks, interpret=False):
         out_specs=pl.BlockSpec((1, n, n), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(A_blocks)
+
+
+# NOTE (measured dead end, do not redo): a fused in-VMEM Cholesky+solve
+# kernel for the update's S-solve (k≈232, D-wide RHS) was built and timed
+# against XLA's cho_factor+cho_solve on the v5e: ~701 us vs ~112 us marginal
+# per solve.  An unblocked column-at-a-time factorization needs one-hot
+# row/column extraction under Mosaic (no dynamic slices), which makes every
+# one of the ~3k sequential steps O(k²) VPU work — the masking traffic, not
+# the arithmetic, dominates.  XLA's blocked panel custom calls are already
+# near the latency floor for these shapes; the profitable Pallas targets in
+# this codebase are the bandwidth-bound fusions (symmetric_downdate) and the
+# embarrassingly-block-parallel factorizations (TSQR row blocks), not
+# sequential dense factorization.
