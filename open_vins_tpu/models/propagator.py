@@ -253,7 +253,7 @@ def _analytic_precompute(state: VioState, cfg: FilterConfig, win: ImuWindow,
     sequential scan.  Inside the unrolled scan these were ~30 scalar-
     assembled 3×3 builds per frame forming a serial dependency chain; the
     TPU gap profile attributed ~0.2 ms/frame of device idle to them.
-    Returns per-interval (dts, w_hat, a_hat, u_wm, u_am, xis, dqs [K-1,4]).
+    Returns per-interval (dts, w_hat, a_hat, u_wm, u_am, xis).
     """
     dts = jnp.maximum(win.t[1:] - win.t[:-1], 0.0)
     wc, ac, u_w, u_a = jax.vmap(lambda w, a: correct_imu(state, w, a))(
@@ -264,8 +264,7 @@ def _analytic_precompute(state: VioState, cfg: FilterConfig, win: ImuWindow,
     u_am = 0.5 * (u_a[:-1] + u_a[1:])
     xis = jax.vmap(lambda w, a, dt: _xi_sum(w, a, dt, dtype))(
         w_hat, a_hat, dts)
-    dqs = jax.vmap(lie.rot_2_quat)(xis[0])  # R_ktok1 -> interval quaternion
-    return dts, w_hat, a_hat, u_wm, u_am, xis, dqs
+    return dts, w_hat, a_hat, u_wm, u_am, xis
 
 
 def _phi_qd_analytic(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux, xi):
@@ -515,7 +514,7 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
         # The mean trajectory is CLOSED FORM given the interval rotations:
         # rotation prefixes by associative scan, then v/p by two cumsums —
         # no sequential scan at all.
-        dts, w_hats, a_hats, u_wm, u_am, xis, dqs = _analytic_precompute(
+        dts, w_hats, a_hats, u_wm, u_am, xis = _analytic_precompute(
             state, cfg, win, dtype)
         R0 = lie.quat_2_rot(state.q)
         pref = _rotation_prefixes(xis[0])  # pref[k] = R_{0→k+1}
