@@ -302,6 +302,93 @@ def kalman_update_math_info(cov, H, res, ranges, return_gamma=False):
     return dx, new_cov
 
 
+def kalman_update_math_spd(cov, H, res, ranges):
+    """Push-through update via SYMMETRIC factorizations — the minimum-
+    custom-call form of the joint vision update on TPU.
+
+    Same information-form algebra as `kalman_update_math_info` (H row-
+    whitened, zero rows exact no-ops, static column support `ranges`), but
+    the non-symmetric M = I + G·P_ss and its pivoted LU — whose row
+    interchanges serialize on TPU (measured: the "woodbury" form lost 30%
+    frame rate to them) — are replaced through the push-through identity
+        (I + G P)⁻¹ = I − G L_p (I + L_pᵀ G L_p)⁻¹ L_pᵀ ,   P = L_p L_pᵀ
+    so every factorization is a Cholesky of an SPD matrix:
+
+        G = H_sᵀH_s, g = H_sᵀres          (one MXU pass over the m rows —
+                                           the compression stage disappears)
+        L_p : ANY factor of P̃_ss ≈ P_ss   (the identity is exact for
+                                           P̃ = L_pL_pᵀ whatever L_p is, so
+                                           only Cholesky *stability* matters
+                                           — see below)
+        M = I + L_pᵀ G L_p                (SPD, eigenvalues ≥ 1 — needs no
+                                           jitter of its own)
+        Y = L_m⁻¹ [L_pᵀG | L_pᵀg]         (ONE triangular solve)
+        W = G − Y_VᵀY_V  (sym),  w = g − Y_Vᵀy_g
+        dx = P_:s w,     P⁺ = P − (P_:s W) P_s:   (fused Pallas downdate)
+
+    Three k×k custom calls total (2 chol + 1 trsm) versus the QR path's
+    five (CholeskyQR2's two chol + trsm, then the S-chol + solve); all the
+    m-row work is a single grammian matmul.  Exactness: identical to the
+    compress-then-solve update in exact arithmetic (same identity as the
+    LU form, which the equivalence tests pin against qr); in f32 it shares
+    the grammian's squared-condition rounding with CholeskyQR2's first
+    pass — the closed-loop NEES/RMSE suites are the guard.
+
+    The covariance-side factorization must survive a genuinely singular
+    P_ss: inactive slots carry exact zero rows, and early-window clones are
+    near-copies of the IMU pose (rank ≪ k at scale ~Q·dt).  A raw
+    chol(P_ss + εI) with scalar ε breaks in f32 (negative pivots → NaN at
+    ~frame 9 of every run).  So the factorization is EQUILIBRATED: with
+    s = √max(diag P_ss, floor),  P̂ = P_ss/(ssᵀ) has unit active diagonal,
+    and L_p = s·chol(P̂ + εI) factors P̃ = P_ss + ε·diag(s²) — a *relative*
+    per-dimension jitter (ε = 3e-5: the update behaves as if each prior
+    variance were 1.00003× itself — a conservative, non-information-
+    injecting perturbation of the gain operator only; P⁺ stays PSD since
+    W̃ = (G⁻¹+P̃)⁻¹ decreases as P̃ grows).  Closed-loop agreement with the
+    qr form: ≤1 mm trajectory / ≤5e-5 covariance divergence over 8 s sims.
+    """
+    from open_vins_tpu.models.update_helper import take_cols
+    from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
+
+    H_s = take_cols(H, ranges)           # [m, k]
+    P_cols = take_cols(cov, ranges)      # [D, k]
+    P_ss = take_cols(P_cols.T, ranges).T  # [k, k]
+    k = H_s.shape[1]
+    dt = cov.dtype
+    eye = jnp.eye(k, dtype=dt)
+    G = H_s.T @ H_s                      # [k, k]
+    g = H_s.T @ res                      # [k]
+    d = jnp.diag(P_ss)
+    floor = 1e-12 * jnp.max(d) + jnp.asarray(1e-30, dt)
+    s = jnp.sqrt(jnp.maximum(d, floor))
+    P_hat = P_ss / (s[:, None] * s[None, :])
+    P_hat = 0.5 * (P_hat + P_hat.T)
+    L_hat = jnp.linalg.cholesky(P_hat + 3e-5 * eye)
+    L_p = s[:, None] * L_hat
+    V = L_p.T @ G                        # [k, k]
+    vg = L_p.T @ g                       # [k]
+    M = eye + V @ L_p                    # = I + L_pᵀ G L_p  (SPD)
+    L_m = jnp.linalg.cholesky(0.5 * (M + M.T))
+    Y = jax.scipy.linalg.solve_triangular(
+        L_m, jnp.concatenate([V, vg[:, None]], axis=1), lower=True)
+    Y_V, y_g = Y[:, :k], Y[:, k]
+    W = G - Y_V.T @ Y_V
+    W = 0.5 * (W + W.T)
+    w = g - Y_V.T @ y_g
+    dx = P_cols @ w
+    new_cov = symmetric_downdate(cov, P_cols @ W, P_cols)
+    return dx, new_cov
+
+
+def ekf_update_spd(state: VioState, cfg: FilterConfig, H, res,
+                   ranges) -> VioState:
+    """`ekf_update` via the symmetric push-through form (see
+    kalman_update_math_spd); H row-whitened, zero rows are exact no-ops."""
+    dx, cov = kalman_update_math_spd(state.cov, H, res, ranges)
+    new_state = boxplus(state, cfg, dx)
+    return new_state._replace(cov=cov)
+
+
 def chi2_gamma_info(cov, H, res, ranges):
     """γ = resᵀ(H P Hᵀ + I)⁻¹res for a row-whitened H with static column
     support — push-through form, one k×k solve instead of an m×m one

@@ -74,16 +74,20 @@ class FilterConfig(NamedTuple):
     # sub-updates.  Closed-loop NEES/RMSE parity is pinned by
     # tests/test_e2e_sim.py + tests/test_slam.py (joint vs sequential).
     # False restores the reference-exact sequential ordering.
-    joint_update_form: str = "qr"  # how the joint vision system is applied:
-    # "qr" (default) = CholeskyQR2-compress then the standard S-Cholesky
-    # update; "woodbury" = push-through identity, ONE k×k LU solve on the
-    # raw whitened stack (core/ekf.kalman_update_math_info — same algebra,
-    # pinned against qr by tests/test_ekf.py + the closed-loop suites).
-    # MEASURED on TPU v5e at the operating point (k=231): qr 652 fps vs
-    # woodbury 466 fps — the pivoted-getrf custom call serializes its row
-    # interchanges, costing more than the three paneled Cholesky launches
-    # it replaces.  Keep "qr" on TPU; "woodbury" may win where LU is cheap
-    # (CPU) or for small k (the ZUPT uses the same identity at k=9).
+    joint_update_form: str = "spd"  # how the joint vision system is applied:
+    # "spd" (default) = symmetric push-through: one grammian + two SPD
+    # Choleskys + ONE triangular solve on the raw whitened stack, no
+    # compression stage (core/ekf.kalman_update_math_spd) — MEASURED on
+    # TPU v5e at the operating point (k=231): 1500 fps vs qr's 1376 (+9%),
+    # identical closed-loop RMSE/NEES (the gain operator carries a designed
+    # conservative 3e-5 relative prior jitter; equivalence pinned by
+    # tests/test_ekf.py + the closed-loop suites).
+    # "qr" = CholeskyQR2-compress then the standard S-Cholesky update
+    # (five k×k custom calls vs spd's three).
+    # "woodbury" = push-through via ONE k×k LU (kalman_update_math_info) —
+    # measured 466 fps on TPU: the pivoted-getrf custom call serializes its
+    # row interchanges; it wins only where LU is cheap (CPU) or for small k
+    # (the ZUPT uses the same identity at k=9).
     # Only read when joint_vision_update.
     fast_compress: bool = False  # OPT-IN normal-eq compression instead of
     # tall QR.  CAVEAT: in f32 the required Cholesky jitter (~eps*||H^T H||)

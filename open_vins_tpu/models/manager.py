@@ -324,6 +324,11 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
         if cfg.joint_update_form == "woodbury":
             # push-through form: one grammian + one LU on the raw stack
             state = ekf.ekf_update_info(state, cfg, H, res, ranges)
+        elif cfg.joint_update_form == "spd":
+            # push-through with symmetric factorizations: one grammian +
+            # two SPD Choleskys + one triangular solve (no compression
+            # stage, no LU) — see core/ekf.kalman_update_math_spd
+            state = ekf.ekf_update_spd(state, cfg, H, res, ranges)
         else:
             D = cfg.state_dim
             H, res = uh.compress_system_ranges(H, res, ranges, D)

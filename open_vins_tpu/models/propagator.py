@@ -55,25 +55,34 @@ def _lower_tri(d6):
     )
 
 
-def imu_intrinsic_mats(state: VioState):
+def imu_intrinsic_mats(state: VioState, R_w=None):
     """(Dw, Da, Tg, R_w): the KALIBR-model correction matrices
-    (State::Dm / State::Tg parity, State.h:91-116)."""
+    (State::Dm / State::Tg parity, State.h:91-116).
+
+    `R_w` may be passed in when the caller already converted
+    state.imu_q_gyro — `propagate` batches its three scalar quat→rot
+    conversions (q, q_fej, imu_q_gyro) into ONE call: each scalar
+    conversion lowers to a 9-element scalar dependency chain that stalls
+    the TPU vector units (~7 us of attributed idle per site on the v5e
+    gap profile)."""
     Dw = _lower_tri(state.imu_dw)
     Da = _lower_tri(state.imu_da)
     Tg = state.imu_tg.reshape(3, 3).T  # column-major storage
-    R_w = lie.quat_2_rot(state.imu_q_gyro)  # GYROtoIMU
+    if R_w is None:
+        R_w = lie.quat_2_rot(state.imu_q_gyro)  # GYROtoIMU
     return Dw, Da, Tg, R_w
 
 
-def correct_imu(state: VioState, w_m, a_m):
+def correct_imu(state: VioState, w_m, a_m, mats=None):
     """Apply biases + IMU intrinsics to raw measurements.
 
     Reference model (Propagator.cpp:885-892, KALIBR):
         â = Da (a_m − ba),   ŵ = R_w Dw (w_m − bg − Tg â)
     Returns (ŵ, â, u_w, u_a) where u_w/u_a are the pre-scale vectors needed
-    by the intrinsic Jacobians H_Dw/H_Da.
-    """
-    Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
+    by the intrinsic Jacobians H_Dw/H_Da.  `mats`: precomputed
+    imu_intrinsic_mats (hoists the quat→rot conversion out of per-sample
+    vmaps)."""
+    Dw, Da, Tg, R_w = imu_intrinsic_mats(state) if mats is None else mats
     u_a = a_m - state.ba
     a_hat = Da @ u_a
     u_w = w_m - state.bg - Tg @ a_hat
@@ -242,7 +251,7 @@ def _step_mean_analytic(q, p, v, xi, a_hat, dt, gravity):
 
 
 def _analytic_precompute(state: VioState, cfg: FilterConfig, win: ImuWindow,
-                         dtype):
+                         dtype, mats=None):
     """Batched carry-independent prologue of the analytic propagation.
 
     Everything in the ACI² per-interval math that does not depend on the
@@ -256,7 +265,7 @@ def _analytic_precompute(state: VioState, cfg: FilterConfig, win: ImuWindow,
     Returns per-interval (dts, w_hat, a_hat, u_wm, u_am, xis).
     """
     dts = jnp.maximum(win.t[1:] - win.t[:-1], 0.0)
-    wc, ac, u_w, u_a = jax.vmap(lambda w, a: correct_imu(state, w, a))(
+    wc, ac, u_w, u_a = jax.vmap(lambda w, a: correct_imu(state, w, a, mats))(
         win.w, win.a)
     w_hat = 0.5 * (wc[:-1] + wc[1:])
     a_hat = 0.5 * (ac[:-1] + ac[1:])
@@ -506,7 +515,13 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
     # numerics, and a long catch-up propagate must not inline its body.
     on_tpu = jax.default_backend() in ("tpu", "axon")
     unroll = on_tpu and K <= 20
-    Dw, Da, Tg, R_w = imu_intrinsic_mats(state)
+    # ONE batched quat->rot conversion for the three scalar quaternions the
+    # prologue needs (q, q_fej, gyro frame): each scalar conversion is a
+    # 9-element scalar chain that stalls the vector units (~7 us idle per
+    # site in the v5e gap profile); batched they vectorize across lanes.
+    R3 = lie.quat_2_rot(jnp.stack([state.q, state.q_fej, state.imu_q_gyro]))
+    mats = imu_intrinsic_mats(state, R_w=R3[2])
+    Dw, Da, Tg, R_w = mats
 
     if cfg.integration == "analytical":
         # ACI² with interval-averaged corrected samples
@@ -515,8 +530,8 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
         # rotation prefixes by associative scan, then v/p by two cumsums —
         # no sequential scan at all.
         dts, w_hats, a_hats, u_wm, u_am, xis = _analytic_precompute(
-            state, cfg, win, dtype)
-        R0 = lie.quat_2_rot(state.q)
+            state, cfg, win, dtype, mats=mats)
+        R0 = R3[0]
         pref = _rotation_prefixes(xis[0])  # pref[k] = R_{0→k+1}
         R_end = pref @ R0                  # R_GtoI at interval ends
         R_start = jnp.concatenate([R0[None], R_end[:-1]], axis=0)
@@ -543,7 +558,7 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
         # FEJ bookkeeping (Propagator.cpp:473-479): only the first interval
         # linearizes at the pre-update first estimate; afterwards the
         # linearization point tracks the propagated mean.
-        R_lin = R_start.at[0].set(lie.quat_2_rot(state.q_fej))
+        R_lin = R_start.at[0].set(R3[1])
         p_lin = p_start.at[0].set(state.p_fej)
         v_lin = v_start.at[0].set(state.v_fej)
 
@@ -558,8 +573,8 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
         # scan now carries ONLY (q, p, v) — the Φ/B/Qd soup moves to one
         # vmapped batch over the stacked means below.
         dts = jnp.maximum(win.t[1:] - win.t[:-1], 0.0)
-        wc, ac, u_w, u_a = jax.vmap(lambda w, a: correct_imu(state, w, a))(
-            win.w, win.a)
+        wc, ac, u_w, u_a = jax.vmap(
+            lambda w, a: correct_imu(state, w, a, mats))(win.w, win.a)
         zero3 = jnp.zeros(3, dtype)
 
         def body(carry, k):

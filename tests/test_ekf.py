@@ -164,6 +164,61 @@ class TestUpdate:
         assert np.trace(np.array(cov_i)) < np.trace(np.array(st.cov))
         assert np.all(np.linalg.eigvalsh(np.array(cov_i)) > -1e-5)
 
+        # third execution form: symmetric push-through ("spd") — two SPD
+        # Choleskys + one solve must reproduce the same update
+        dx_s, cov_s = ekf.kalman_update_math_spd(st.cov, H, res_j, ranges)
+        # spd tolerances include its designed perturbation: the gain
+        # operator sees P + 3e-5·diag(P) (see kalman_update_math_spd)
+        np.testing.assert_allclose(np.array(dx_s), np.array(dx_q),
+                                   atol=1e-4, rtol=5e-3)
+        np.testing.assert_allclose(np.array(cov_s), np.array(cov_q),
+                                   atol=1e-4, rtol=5e-3)
+
+    def test_spd_form_singular_support_cov(self):
+        """The spd form must survive a PSD-singular P_ss (inactive slots
+        carry exact zero covariance rows): the ε-regularized covariance-side
+        Cholesky may not produce NaNs, zero-H dims must stay untouched, and
+        the active-dim result must match the compress-then-solve update."""
+        from open_vins_tpu.models import update_helper as uh
+
+        st = make_state(seed=21)
+        D = CFG.state_dim
+        ranges = CFG.cam_meas_support_ranges
+        k = sum(b - a for a, b in ranges)
+        # deactivate half the support: zero those covariance rows/cols
+        mask = np.ones(D, dtype=bool)
+        a0, b0 = ranges[0]
+        dead = np.arange(a0 + (b0 - a0) // 2, b0)
+        mask[dead] = False
+        P = np.array(st.cov) * np.outer(mask, mask)
+        st = st._replace(cov=jnp.asarray(P, jnp.float32))
+
+        rng = np.random.default_rng(22)
+        m = 4 * k
+        H = np.zeros((m, D))
+        c0 = 0
+        for a, b in ranges:
+            H[:, a:b] = rng.normal(size=(m, b - a)) * 0.5
+            c0 += b - a
+        H[:, dead] = 0.0  # measurements never touch inactive dims
+        res = rng.normal(size=(m,)) * 0.05
+        H = jnp.asarray(H, jnp.float32)
+        res_j = jnp.asarray(res, jnp.float32)
+
+        dx_s, cov_s = ekf.kalman_update_math_spd(st.cov, H, res_j, ranges)
+        assert np.all(np.isfinite(np.array(dx_s)))
+        assert np.all(np.isfinite(np.array(cov_s)))
+        H_c, res_c = uh.compress_system_ranges(H, res_j, ranges, D)
+        dx_q, cov_q = ekf.kalman_update_math(
+            st.cov, H_c, res_c, jnp.ones(H_c.shape[0]), ranges=ranges)
+        # tolerances include spd's designed 3e-5 relative prior jitter
+        np.testing.assert_allclose(np.array(dx_s), np.array(dx_q),
+                                   atol=1e-4, rtol=5e-3)
+        np.testing.assert_allclose(np.array(cov_s), np.array(cov_q),
+                                   atol=1e-4, rtol=5e-3)
+        # inactive rows/cols stay exactly dead
+        assert np.abs(np.array(cov_s)[dead]).max() < 1e-6
+
 
 class TestPropagation:
     def _sim(self):
