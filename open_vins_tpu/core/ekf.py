@@ -346,6 +346,25 @@ def kalman_update_math_spd(cov, H, res, ranges):
     injecting perturbation of the gain operator only; P⁺ stays PSD since
     W̃ = (G⁻¹+P̃)⁻¹ decreases as P̃ grows).  Closed-loop agreement with the
     qr form: ≤1 mm trajectory / ≤5e-5 covariance divergence over 8 s sims.
+
+    NaN-safety (the round-2 CPU closed-loop failure): repeated downdates
+    leave tiny f32 residue — slightly-negative diagonals and off-diagonal
+    leftovers — on dims whose covariance was zeroed (marginalized slots).
+    Normalizing by their floored √diag turns that residue into O(1)
+    garbage correlations, P̂ goes indefinite beyond the 3e-5 jitter, and
+    the Cholesky NaNs (platform-dependent: CPU LAPACK returned NaN where
+    the TPU kernel did not).  Defenses, all in the gain operator only
+    (P̃ = L_pL_pᵀ is a *valid prior substitute whatever L_p is* — any
+    P̃ ⪰ P_ss keeps P⁺ conservative-PSD by operator monotonicity):
+      1. dims with diag below a RELATIVE floor (1e-10·max d) are treated
+         as dead: their P̂ rows/cols are zeroed (unit diag) and s_eff = 0,
+         so P̃ carries exact zero for them — residue never enters,
+      2. P̂ entries are clamped to the [-1, 1] correlation range and the
+         diagonal pinned to exactly 1 (kills negative-diagonal residue),
+      3. the Cholesky is tiered: ε = 3e-5, escalate to 3e-3 under a
+         lax.cond if any NaN appears (pays only when triggered), and a
+         final diagonal-factor fallback (L̂ = I ⇒ P̃ = diag s²) guarded by
+         jnp.where — NaNs can never leave this function.
     """
     from open_vins_tpu.models.update_helper import take_cols
     from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
@@ -359,12 +378,24 @@ def kalman_update_math_spd(cov, H, res, ranges):
     G = H_s.T @ H_s                      # [k, k]
     g = H_s.T @ res                      # [k]
     d = jnp.diag(P_ss)
-    floor = 1e-12 * jnp.max(d) + jnp.asarray(1e-30, dt)
+    dmax = jnp.max(jnp.maximum(d, 0.0))
+    alive = d > 1e-10 * dmax
+    floor = 1e-12 * dmax + jnp.asarray(1e-30, dt)
     s = jnp.sqrt(jnp.maximum(d, floor))
     P_hat = P_ss / (s[:, None] * s[None, :])
     P_hat = 0.5 * (P_hat + P_hat.T)
+    P_hat = jnp.clip(P_hat, -1.0, 1.0)
+    P_hat = jnp.where(alive[:, None] & alive[None, :], P_hat, 0.0)
+    P_hat = P_hat - jnp.diag(jnp.diag(P_hat)) + eye
     L_hat = jnp.linalg.cholesky(P_hat + 3e-5 * eye)
-    L_p = s[:, None] * L_hat
+    L_hat = jax.lax.cond(
+        jnp.all(jnp.isfinite(L_hat)),
+        lambda a, _: a,
+        lambda _, Ph: jnp.linalg.cholesky(Ph + 3e-3 * eye),
+        L_hat, P_hat)
+    L_hat = jnp.where(jnp.all(jnp.isfinite(L_hat)), L_hat, eye)
+    s_eff = jnp.where(alive, s, 0.0)
+    L_p = s_eff[:, None] * L_hat
     V = L_p.T @ G                        # [k, k]
     vg = L_p.T @ g                       # [k]
     M = eye + V @ L_p                    # = I + L_pᵀ G L_p  (SPD)

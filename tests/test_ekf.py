@@ -219,6 +219,57 @@ class TestUpdate:
         # inactive rows/cols stay exactly dead
         assert np.abs(np.array(cov_s)[dead]).max() < 1e-6
 
+    def test_spd_form_f32_residue_cov(self):
+        """The round-2 closed-loop failure mode: marginalized dims do not
+        carry exact zeros but tiny f32 residue — 1e-12-scale diagonals
+        (some slightly NEGATIVE) with nonzero off-diagonal leftovers from
+        repeated downdates.  Equilibration turns that residue into O(1)
+        garbage correlations; the spd path must stay finite and match the
+        compress-then-solve update on the live dims."""
+        from open_vins_tpu.models import update_helper as uh
+
+        st = make_state(seed=31)
+        D = CFG.state_dim
+        ranges = CFG.cam_meas_support_ranges
+        k = sum(b - a for a, b in ranges)
+        mask = np.ones(D, dtype=bool)
+        a0, b0 = ranges[0]
+        dead = np.arange(a0 + (b0 - a0) // 2, b0)
+        mask[dead] = False
+        P = np.array(st.cov) * np.outer(mask, mask)
+        # inject the downdate residue: tiny diagonals, some negative, and
+        # off-diagonal leftovers correlating dead dims with live ones
+        rng = np.random.default_rng(32)
+        P[dead, dead] = rng.uniform(-1e-12, 1e-12, size=dead.size)
+        for i in dead[::2]:
+            j = (i - a0 + 3) % (b0 - a0) + a0
+            P[i, j] = P[j, i] = 1e-9 * rng.normal()
+        st = st._replace(cov=jnp.asarray(P, jnp.float32))
+
+        m = 4 * k
+        H = np.zeros((m, D))
+        for a, b in ranges:
+            H[:, a:b] = rng.normal(size=(m, b - a)) * 0.5
+        H[:, dead] = 0.0
+        res = rng.normal(size=(m,)) * 0.05
+        H = jnp.asarray(H, jnp.float32)
+        res_j = jnp.asarray(res, jnp.float32)
+
+        dx_s, cov_s = ekf.kalman_update_math_spd(st.cov, H, res_j, ranges)
+        assert np.all(np.isfinite(np.array(dx_s)))
+        assert np.all(np.isfinite(np.array(cov_s)))
+        H_c, res_c = uh.compress_system_ranges(H, res_j, ranges, D)
+        dx_q, cov_q = ekf.kalman_update_math(
+            st.cov, H_c, res_c, jnp.ones(H_c.shape[0]), ranges=ranges)
+        live = np.where(mask)[0]
+        np.testing.assert_allclose(np.array(dx_s)[live], np.array(dx_q)[live],
+                                   atol=1e-4, rtol=5e-3)
+        np.testing.assert_allclose(np.array(cov_s)[np.ix_(live, live)],
+                                   np.array(cov_q)[np.ix_(live, live)],
+                                   atol=1e-4, rtol=5e-3)
+        # the dead dims' residue must not grow
+        assert np.abs(np.array(cov_s)[dead]).max() < 1e-6
+
 
 class TestPropagation:
     def _sim(self):

@@ -22,7 +22,7 @@ if command -v clang-format >/dev/null 2>&1; then
   for f in native/*.cpp native/*.h; do
     [ -e "$f" ] || continue
     if ! clang-format --dry-run -Werror "$f" 2>/dev/null; then
-      echo "needs format: $f"
+      echo "needs format: $f"; fail=1
     fi
   done
 else
