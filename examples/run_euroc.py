@@ -219,6 +219,10 @@ def main():
             jnp.zeros(3), jnp.zeros(3), jnp.zeros(3),
             float(cam_t[init_k] - t0), calib_q, calib_p, calib_i)
 
+    # yaml-seeded IMU intrinsics (kalibr_imu_chain Tw/Ta/Tg + sensor-frame
+    # rotations, StateOptions.h:141-146)
+    state = manager.seed_imu_intrinsics(state, vc.imu)
+
     # ------------------------------------------------------------------
     # filtering from init_k
     # ------------------------------------------------------------------

@@ -43,6 +43,10 @@ class FilterConfig(NamedTuple):
     calib_cam_intrinsics: bool = False
     calib_imu_intrinsics: bool = False  # Dw/Da (+ gyro frame, KALIBR model)
     calib_imu_g_sensitivity: bool = False  # Tg
+    imu_model: str = "kalibr"  # "kalibr" | "rpng" (StateOptions::ImuModel,
+    # StateOptions.h:62-65): kalibr = lower-triangular Dw/Da + estimated
+    # R_GYROtoIMU; rpng = upper-triangular Dw/Da + estimated R_ACCtoIMU.
+    # The thw error-state slot holds whichever rotation the model estimates.
     # estimator behavior
     integration: str = "rk4"  # "rk4" | "discrete" | "analytical" (ACI²
     # Ξ-series closed form, Propagator.cpp:588-829) — StateOptions parity

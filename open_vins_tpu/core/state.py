@@ -59,11 +59,13 @@ class VioState(NamedTuple):
     calib_ext_q: jax.Array  # [N, 4] R_ItoC as JPL quat
     calib_ext_p: jax.Array  # [N, 3] p_IinC
     calib_intr: jax.Array  # [N, 8]
-    # IMU intrinsics (KALIBR model; State::Dm/Tg parity, State.h:91-116)
-    imu_dw: jax.Array  # [6] lower-tri gyro scale/skew (identity=[1,0,0,1,0,1])
+    # IMU intrinsics (State::Dm/Tg parity, State.h:91-116; kalibr = lower-tri
+    # vectors + estimated gyro frame, rpng = upper-tri + estimated accel frame)
+    imu_dw: jax.Array  # [6] gyro scale/skew (identity=[1,0,0,1,0,1])
     imu_da: jax.Array  # [6] accel scale/skew
     imu_tg: jax.Array  # [9] gravity sensitivity (column-major)
-    imu_q_gyro: jax.Array  # [4] JPL R_GYROtoIMU
+    imu_q_gyro: jax.Array  # [4] JPL R_GYROtoIMU (estimated under kalibr)
+    imu_q_acc: jax.Array  # [4] JPL R_ACCtoIMU (estimated under rpng)
     # dense covariance over the static layout
     cov: jax.Array  # [D, D]
     # bookkeeping
@@ -101,10 +103,18 @@ def init_state(cfg: FilterConfig, dtype=jnp.float32) -> VioState:
         calib_ext_q=jnp.tile(qid, (N, 1)),
         calib_ext_p=jnp.zeros((N, 3), dtype=dtype),
         calib_intr=jnp.zeros((N, 8), dtype=dtype),
-        imu_dw=jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], dtype=dtype),
-        imu_da=jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0], dtype=dtype),
+        # identity packing depends on the triangular layout (State::Dm):
+        # kalibr lower-tri [D00,D10,D20,D11,D21,D22], rpng upper-tri
+        # [D00,D01,D11,D02,D12,D22]
+        imu_dw=jnp.asarray([1.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+                           if cfg.imu_model == "rpng"
+                           else [1.0, 0.0, 0.0, 1.0, 0.0, 1.0], dtype=dtype),
+        imu_da=jnp.asarray([1.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+                           if cfg.imu_model == "rpng"
+                           else [1.0, 0.0, 0.0, 1.0, 0.0, 1.0], dtype=dtype),
         imu_tg=jnp.zeros((9,), dtype=dtype),
         imu_q_gyro=qid,
+        imu_q_acc=qid,
         cov=jnp.zeros((D, D), dtype=dtype),
         t=jnp.asarray(0.0, dtype=dtype),
         t_init=jnp.asarray(0.0, dtype=dtype),
@@ -189,9 +199,15 @@ def boxplus(state: VioState, cfg: FilterConfig, dx: jax.Array) -> VioState:
     imu_dw = state.imu_dw + dx[cfg.imu_dw_off : cfg.imu_dw_off + 6]
     imu_da = state.imu_da + dx[cfg.imu_da_off : cfg.imu_da_off + 6]
     imu_tg = state.imu_tg + dx[cfg.imu_tg_off : cfg.imu_tg_off + 9]
-    imu_q_gyro = _quat_boxplus(
-        state.imu_q_gyro, dx[cfg.imu_thw_off : cfg.imu_thw_off + 3]
-    )
+    # the thw slot corrects whichever sensor-frame rotation the model
+    # estimates (kalibr: R_GYROtoIMU; rpng: R_ACCtoIMU — StateOptions.h:62-65)
+    dthw = dx[cfg.imu_thw_off : cfg.imu_thw_off + 3]
+    if cfg.imu_model == "rpng":
+        imu_q_gyro = state.imu_q_gyro
+        imu_q_acc = _quat_boxplus(state.imu_q_acc, dthw)
+    else:
+        imu_q_gyro = _quat_boxplus(state.imu_q_gyro, dthw)
+        imu_q_acc = state.imu_q_acc
 
     return state._replace(
         q=q, p=p, v=v, bg=bg, ba=ba,
@@ -200,4 +216,5 @@ def boxplus(state: VioState, cfg: FilterConfig, dx: jax.Array) -> VioState:
         calib_dt=calib_dt,
         calib_ext_q=calib_ext_q, calib_ext_p=calib_ext_p, calib_intr=calib_intr,
         imu_dw=imu_dw, imu_da=imu_da, imu_tg=imu_tg, imu_q_gyro=imu_q_gyro,
+        imu_q_acc=imu_q_acc,
     )

@@ -428,6 +428,23 @@ def initialize_from_gt(cfg: FilterConfig, q, p, v, bg, ba, t,
     return ekf.set_initial_covariance(st, cfg, diag)
 
 
+def seed_imu_intrinsics(st: VioState, imu_calib) -> VioState:
+    """Apply yaml-seeded IMU intrinsic initial values to a fresh state.
+
+    Parity with the reference seeding state values from kalibr_imu_chain
+    (StateOptions.h:141-146, VioManagerOptions.h:306-353, State.h:91-116):
+    the filter starts from the calibrated Dw/Da/Tg and sensor-frame
+    rotations rather than identity.  `imu_calib`: utils.config.ImuCalib."""
+    dt = st.cov.dtype
+    return st._replace(
+        imu_dw=jnp.asarray(imu_calib.dw, dt),
+        imu_da=jnp.asarray(imu_calib.da, dt),
+        imu_tg=jnp.asarray(imu_calib.tg, dt),
+        imu_q_gyro=jnp.asarray(imu_calib.q_gyro, dt),
+        imu_q_acc=jnp.asarray(imu_calib.q_acc, dt),
+    )
+
+
 def initialize_from_dynamic(cfg: FilterConfig, res, t,
                             calib_ext_q, calib_ext_p, calib_intr) -> VioState:
     """Seed the filter from a DynamicInitializer solution.

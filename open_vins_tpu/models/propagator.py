@@ -55,44 +55,74 @@ def _lower_tri(d6):
     )
 
 
-def imu_intrinsic_mats(state: VioState, R_w=None):
-    """(Dw, Da, Tg, R_w): the KALIBR-model correction matrices
-    (State::Dm / State::Tg parity, State.h:91-116).
+def _upper_tri(d6):
+    """6-vector -> upper-triangular 3x3 (State::Dm RPNG layout,
+    State.h:91-102: D = [[d0,d1,d3],[0,d2,d4],[0,0,d5]])."""
+    return jnp.asarray(
+        [
+            [d6[0], d6[1], d6[3]],
+            [0.0, d6[2], d6[4]],
+            [0.0, 0.0, d6[5]],
+        ],
+        dtype=d6.dtype,
+    )
 
-    `R_w` may be passed in when the caller already converted
-    state.imu_q_gyro — `propagate` batches its three scalar quat→rot
-    conversions (q, q_fej, imu_q_gyro) into ONE call: each scalar
+
+def imu_intrinsic_mats(state: VioState, model="kalibr", R_w=None, R_a=None):
+    """(Dw, Da, Tg, R_w, R_a): the IMU-intrinsic correction matrices
+    (State::Dm / State::Tg parity, State.h:91-116).  `model` selects the
+    triangular layout of Dw/Da ("kalibr" lower, "rpng" upper); both sensor
+    rotations are always applied — the model decides which one the thw
+    error slot estimates (the other stays at its yaml-seeded value).
+
+    `R_w`/`R_a` may be passed in when the caller already converted the
+    quaternions — `propagate` batches its scalar quat→rot conversions
+    (q, q_fej, imu_q_gyro, imu_q_acc) into ONE call: each scalar
     conversion lowers to a 9-element scalar dependency chain that stalls
     the TPU vector units (~7 us of attributed idle per site on the v5e
     gap profile)."""
-    Dw = _lower_tri(state.imu_dw)
-    Da = _lower_tri(state.imu_da)
+    tri = _upper_tri if model == "rpng" else _lower_tri
+    Dw = tri(state.imu_dw)
+    Da = tri(state.imu_da)
     Tg = state.imu_tg.reshape(3, 3).T  # column-major storage
     if R_w is None:
         R_w = lie.quat_2_rot(state.imu_q_gyro)  # GYROtoIMU
-    return Dw, Da, Tg, R_w
+    if R_a is None:
+        R_a = lie.quat_2_rot(state.imu_q_acc)  # ACCtoIMU
+    return Dw, Da, Tg, R_w, R_a
 
 
-def correct_imu(state: VioState, w_m, a_m, mats=None):
+def correct_imu(state: VioState, w_m, a_m, mats=None, model="kalibr"):
     """Apply biases + IMU intrinsics to raw measurements.
 
-    Reference model (Propagator.cpp:885-892, KALIBR):
-        â = Da (a_m − ba),   ŵ = R_w Dw (w_m − bg − Tg â)
+    Reference model (Propagator.cpp:184-190):
+        â = R_a Da (a_m − ba),   ŵ = R_w Dw (w_m − bg − Tg â)
     Returns (ŵ, â, u_w, u_a) where u_w/u_a are the pre-scale vectors needed
     by the intrinsic Jacobians H_Dw/H_Da.  `mats`: precomputed
-    imu_intrinsic_mats (hoists the quat→rot conversion out of per-sample
+    imu_intrinsic_mats (hoists the quat→rot conversions out of per-sample
     vmaps)."""
-    Dw, Da, Tg, R_w = imu_intrinsic_mats(state) if mats is None else mats
+    Dw, Da, Tg, R_w, R_a = (imu_intrinsic_mats(state, model)
+                            if mats is None else mats)
     u_a = a_m - state.ba
-    a_hat = Da @ u_a
+    a_hat = R_a @ (Da @ u_a)
     u_w = w_m - state.bg - Tg @ a_hat
     w_hat = R_w @ (Dw @ u_w)
     return w_hat, a_hat, u_w, u_a
 
 
-def _H_scale6(u):
-    """∂(lower_tri(d) u)/∂d : [3,6] (compute_H_Dw/H_Da parity)."""
+def _H_scale6(u, model="kalibr"):
+    """∂(tri(d) u)/∂d : [3,6] (compute_H_Dw/H_Da parity,
+    Propagator.cpp:964-1002 — kalibr lower-tri / rpng upper-tri layouts)."""
     z = jnp.zeros((), dtype=u.dtype)
+    if model == "rpng":
+        return jnp.asarray(
+            [
+                [u[0], u[1], z, u[2], z, z],
+                [z, z, u[1], z, u[2], z],
+                [z, z, z, z, z, u[2]],
+            ],
+            dtype=u.dtype,
+        )
     return jnp.asarray(
         [
             [u[0], z, z, z, z, z],
@@ -278,7 +308,9 @@ def _analytic_precompute(state: VioState, cfg: FilterConfig, win: ImuWindow,
 
 def _phi_qd_analytic(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux, xi):
     """Analytic Φ/B/Qd (compute_F_and_G_analytic parity,
-    Propagator.cpp:694-829, KALIBR model with R_atoI = I).
+    Propagator.cpp:694-829, both IMU models — kalibr estimates the gyro
+    frame, rpng the accel frame; the non-estimated rotation rides along as
+    a constant factor).
 
     Shares the FEJ integrated-displacement θ-columns with the discrete form;
     the bias/noise columns use the closed-form Ξ integrals instead of the
@@ -286,10 +318,11 @@ def _phi_qd_analytic(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux, xi):
     """
     R_k, p_lin, v_lin = lin    # rotations passed directly (carried through
     R_new, p_new, v_new = new  # the scan; see _analytic_precompute)
-    Dw, Da, Tg, R_w, w_hat, a_hat, u_w, u_a = aux
+    Dw, Da, Tg, R_w, R_a, w_hat, a_hat, u_w, u_a = aux
     _, Xi1, Xi2, Jr_ktok1, Xi3, Xi4 = xi
     RwDw = R_w @ Dw
     RwDwTg = RwDw @ Tg
+    RaDa = R_a @ Da
 
     R_kT = R_k.T
     dR = R_new @ R_kT
@@ -303,9 +336,9 @@ def _phi_qd_analytic(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux, xi):
     Fth_bg = -dRJr @ RwDw
     Fp_bg = R_kT @ Xi4 @ RwDw
     Fv_bg = R_kT @ Xi3 @ RwDw
-    Fth_ba = dRJr @ RwDwTg @ Da
-    Fp_ba = -R_kT @ (Xi2 + Xi4 @ RwDwTg) @ Da
-    Fv_ba = -R_kT @ (Xi1 + Xi3 @ RwDwTg) @ Da
+    Fth_ba = dRJr @ RwDwTg @ RaDa
+    Fp_ba = -R_kT @ (Xi2 + Xi4 @ RwDwTg) @ RaDa
+    Fv_ba = -R_kT @ (Xi1 + Xi3 @ RwDwTg) @ RaDa
 
     F_th = [dR, Z, Z, Fth_bg, Fth_ba]
     F_p = [Fp_th, I3, I3 * dt, Fp_bg, Fp_ba]
@@ -314,21 +347,30 @@ def _phi_qd_analytic(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux, xi):
     F_ba = [Z, Z, Z, Z, I3]
     Phi = jnp.block([F_th, F_p, F_v, F_bg, F_ba])
 
-    # intrinsic columns B [15, 24] over [dw(6) da(6) tg(9) th_w(3)]
+    # intrinsic columns B [15, 24] over [dw(6) da(6) tg(9) thw(3)] — the
+    # thw columns are ∂/∂R_GYROtoIMU (kalibr, Propagator.cpp:803-808) or
+    # ∂/∂R_ACCtoIMU (rpng, Propagator.cpp:794-800)
     B = jnp.zeros((15, 24), dtype=dtype)
+    model = cfg.imu_model
     if cfg.calib_imu_intrinsics:
-        H_Dw = R_w @ _H_scale6(u_w)
-        H_Da = _H_scale6(u_a)
+        H_Dw = R_w @ _H_scale6(u_w, model)
+        H_Da = R_a @ _H_scale6(u_a, model)
         B = B.at[0:3, 0:6].set(dRJr @ H_Dw)
         B = B.at[3:6, 0:6].set(-R_kT @ Xi4 @ H_Dw)
         B = B.at[6:9, 0:6].set(-R_kT @ Xi3 @ H_Dw)
         B = B.at[0:3, 6:12].set(-dRJr @ RwDwTg @ H_Da)
         B = B.at[3:6, 6:12].set(R_kT @ (Xi2 + Xi4 @ RwDwTg) @ H_Da)
         B = B.at[6:9, 6:12].set(R_kT @ (Xi1 + Xi3 @ RwDwTg) @ H_Da)
-        sW = lie.skew(w_hat)
-        B = B.at[0:3, 21:24].set(dRJr @ sW)
-        B = B.at[3:6, 21:24].set(-R_kT @ Xi4 @ sW)
-        B = B.at[6:9, 21:24].set(-R_kT @ Xi3 @ sW)
+        if model == "rpng":
+            sA = lie.skew(a_hat)
+            B = B.at[0:3, 21:24].set(-dRJr @ RwDwTg @ sA)
+            B = B.at[3:6, 21:24].set(R_kT @ (Xi2 + Xi4 @ RwDwTg) @ sA)
+            B = B.at[6:9, 21:24].set(R_kT @ (Xi1 + Xi3 @ RwDwTg) @ sA)
+        else:
+            sW = lie.skew(w_hat)
+            B = B.at[0:3, 21:24].set(dRJr @ sW)
+            B = B.at[3:6, 21:24].set(-R_kT @ Xi4 @ sW)
+            B = B.at[6:9, 21:24].set(-R_kT @ Xi3 @ sW)
     if cfg.calib_imu_g_sensitivity:
         H_Tg = RwDw @ _H_tg(a_hat)
         B = B.at[0:3, 12:21].set(-dRJr @ H_Tg)
@@ -375,8 +417,9 @@ def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux):
     q_new, p_new, v_new = new
     # intrinsic-corrected quantities for this interval (identity intrinsics
     # reduce every factor below to the plain model)
-    Dw, Da, Tg, R_w, w_hat, a_hat, u_w, u_a = aux
+    Dw, Da, Tg, R_w, R_a, w_hat, a_hat, u_w, u_a = aux
     RwDw = R_w @ Dw
+    RaDa = R_a @ Da
 
     R_k = lie.quat_2_rot(q_lin)  # GtoI at linearization point
     R_kT = R_k.T
@@ -387,10 +430,10 @@ def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux):
     I3 = jnp.eye(3, dtype=dtype)
     Z = jnp.zeros((3, 3), dtype=dtype)
     Fth_bg = -dRJr @ RwDw
-    Fth_ba = dRJr @ (RwDw @ Tg @ Da)
+    Fth_ba = dRJr @ (RwDw @ Tg @ RaDa)
     Fp_th = -lie.skew(p_new - p_lin - v_lin * dt + 0.5 * gravity * dt * dt) @ R_kT
     Fv_th = -lie.skew(v_new - v_lin + gravity * dt) @ R_kT
-    RtDa = R_kT @ Da
+    RtDa = R_kT @ RaDa
 
     F_th = [dR, Z, Z, Fth_bg, Fth_ba]
     F_p = [Fp_th, I3, I3 * dt, Z, -0.5 * dt * dt * RtDa]
@@ -399,16 +442,25 @@ def _phi_qd(lin, new, gravity, dt, cfg: FilterConfig, dtype, aux):
     F_ba = [Z, Z, Z, Z, I3]
     Phi = jnp.block([F_th, F_p, F_v, F_bg, F_ba])
 
-    # intrinsic columns B [15, 24] over [dw(6) da(6) tg(9) th_w(3)]
-    # (compute_F_and_G_discrete intrinsic blocks, Propagator.cpp:920-955);
+    # intrinsic columns B [15, 24] over [dw(6) da(6) tg(9) thw(3)] — the thw
+    # columns hold ∂/∂R_GYROtoIMU (kalibr) or ∂/∂R_ACCtoIMU (rpng)
+    # (compute_F_and_G_discrete intrinsic blocks, Propagator.cpp:920-961);
     # built only when the blocks are estimated (static flags -> specialized)
     B = jnp.zeros((15, 24), dtype=dtype)
+    model = cfg.imu_model
     if cfg.calib_imu_intrinsics:
-        B = B.at[0:3, 0:6].set(dRJr @ R_w @ _H_scale6(u_w))
-        B = B.at[0:3, 6:12].set(-dRJr @ (RwDw @ Tg) @ _H_scale6(u_a))
-        B = B.at[3:6, 6:12].set(0.5 * dt * dt * R_kT @ _H_scale6(u_a))
-        B = B.at[6:9, 6:12].set(dt * R_kT @ _H_scale6(u_a))
-        B = B.at[0:3, 21:24].set(dRJr @ lie.skew(w_hat))
+        H_Da = _H_scale6(u_a, model)
+        B = B.at[0:3, 0:6].set(dRJr @ R_w @ _H_scale6(u_w, model))
+        B = B.at[0:3, 6:12].set(-dRJr @ (RwDw @ Tg @ R_a) @ H_Da)
+        B = B.at[3:6, 6:12].set(0.5 * dt * dt * R_kT @ R_a @ H_Da)
+        B = B.at[6:9, 6:12].set(dt * R_kT @ R_a @ H_Da)
+        if model == "rpng":
+            sA = lie.skew(a_hat)
+            B = B.at[0:3, 21:24].set(-dRJr @ (RwDw @ Tg) @ sA)
+            B = B.at[3:6, 21:24].set(0.5 * dt * dt * R_kT @ sA)
+            B = B.at[6:9, 21:24].set(dt * R_kT @ sA)
+        else:
+            B = B.at[0:3, 21:24].set(dRJr @ lie.skew(w_hat))
     if cfg.calib_imu_g_sensitivity:
         B = B.at[0:3, 12:21].set(-dRJr @ RwDw @ _H_tg(a_hat))
 
@@ -515,13 +567,15 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
     # numerics, and a long catch-up propagate must not inline its body.
     on_tpu = jax.default_backend() in ("tpu", "axon")
     unroll = on_tpu and K <= 20
-    # ONE batched quat->rot conversion for the three scalar quaternions the
-    # prologue needs (q, q_fej, gyro frame): each scalar conversion is a
-    # 9-element scalar chain that stalls the vector units (~7 us idle per
-    # site in the v5e gap profile); batched they vectorize across lanes.
-    R3 = lie.quat_2_rot(jnp.stack([state.q, state.q_fej, state.imu_q_gyro]))
-    mats = imu_intrinsic_mats(state, R_w=R3[2])
-    Dw, Da, Tg, R_w = mats
+    # ONE batched quat->rot conversion for the four scalar quaternions the
+    # prologue needs (q, q_fej, gyro frame, accel frame): each scalar
+    # conversion is a 9-element scalar chain that stalls the vector units
+    # (~7 us idle per site in the v5e gap profile); batched they vectorize
+    # across lanes.
+    R3 = lie.quat_2_rot(jnp.stack([state.q, state.q_fej, state.imu_q_gyro,
+                                   state.imu_q_acc]))
+    mats = imu_intrinsic_mats(state, cfg.imu_model, R_w=R3[2], R_a=R3[3])
+    Dw, Da, Tg, R_w, R_a = mats
 
     if cfg.integration == "analytical":
         # ACI² with interval-averaged corrected samples
@@ -565,7 +619,8 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
         Phis, Bs, Qds = jax.vmap(
             lambda Rl, pl, vl, Re, pe, ve, dt, wk, ak, uw, ua, xi:
             _phi_qd_analytic((Rl, pl, vl), (Re, pe, ve), gravity, dt, cfg,
-                             dtype, (Dw, Da, Tg, R_w, wk, ak, uw, ua), xi)
+                             dtype, (Dw, Da, Tg, R_w, R_a, wk, ak, uw, ua),
+                             xi)
         )(R_lin, p_lin, v_lin, R_end, p_end, v_end, dts, w_hats, a_hats,
           u_wm, u_am, xis)
     else:
@@ -597,7 +652,7 @@ def propagate(state: VioState, cfg: FilterConfig, win: ImuWindow, t_new) -> VioS
         Phis, Bs, Qds = jax.vmap(
             lambda ql, pl, vl, qe, pe, ve, dt, wk, ak, uw, ua:
             _phi_qd((ql, pl, vl), (qe, pe, ve), gravity, dt, cfg, dtype,
-                    (Dw, Da, Tg, R_w, wk, ak, uw, ua))
+                    (Dw, Da, Tg, R_w, R_a, wk, ak, uw, ua))
         )(q_lin, p_lin, v_lin, q_end, p_end, v_end, dts, w_hats, a_hats,
           u_w[:-1], u_a[:-1])
 
@@ -631,8 +686,10 @@ def fast_state_propagate(state: VioState, cfg: FilterConfig, win: ImuWindow):
     def body(carry, k):
         q, p, v = carry
         dt = jnp.maximum(win.t[k + 1] - win.t[k], 0.0)
-        w1c, a1c, _, _ = correct_imu(state, win.w[k], win.a[k])
-        w2c, a2c, _, _ = correct_imu(state, win.w[k + 1], win.a[k + 1])
+        w1c, a1c, _, _ = correct_imu(state, win.w[k], win.a[k],
+                                     model=cfg.imu_model)
+        w2c, a2c, _, _ = correct_imu(state, win.w[k + 1], win.a[k + 1],
+                                     model=cfg.imu_model)
         zero3 = jnp.zeros(3, dtype)
         if cfg.integration == "analytical":
             w_hat = 0.5 * (w1c + w2c)

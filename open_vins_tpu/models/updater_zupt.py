@@ -52,7 +52,8 @@ def build_system(state: VioState, cfg: FilterConfig, win: ImuWindow):
         # Jacobian columns as a TODO in the ZUPT, UpdaterZeroVelocity.cpp:136)
         from open_vins_tpu.models.propagator import correct_imu
 
-        w_hat, a_hat, _, _ = correct_imu(state, win.w[i], win.a[i])
+        w_hat, a_hat, _, _ = correct_imu(state, win.w[i], win.a[i],
+                                         model=cfg.imu_model)
         res_w = -w_omega * w_hat
         res_a = -w_accel * (a_hat - lie.quat_2_rot(state.q) @ gravity)
         Hrow = jnp.zeros((6, D), dtype=dtype)

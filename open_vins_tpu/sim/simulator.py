@@ -328,10 +328,12 @@ class PerturbedCalib(NamedTuple):
     imu_da: jax.Array  # [6]
     imu_tg: jax.Array  # [9]
     imu_q_gyro: jax.Array  # [4] JPL gyro-frame rotation
+    imu_q_acc: jax.Array  # [4] JPL accel-frame rotation (rpng model)
 
 
 def perturb_calib(seed: int, calib, calib_dt=0.0,
-                  imu_intrinsics=False, g_sensitivity=False) -> PerturbedCalib:
+                  imu_intrinsics=False, g_sensitivity=False,
+                  imu_model="kalibr") -> PerturbedCalib:
     """Seeded gaussian perturbation of the calibration the ESTIMATOR starts
     from (Simulator::perturb_parameters parity, Simulator.cpp:209-265, with
     the reference's per-field scales): dt 0.01 s, focal/center 1.0 px,
@@ -354,18 +356,24 @@ def perturb_calib(seed: int, calib, calib_dt=0.0,
     R = jax.vmap(lambda w, Rot: lie.exp_so3(w) @ Rot)(w_vec, cam_R_ItoC)
     p = cam_p_IinC + 0.01 * jax.random.normal(ks[3], (N, 3))
 
-    dw = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0])
-    da = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 1.0])
+    ident6 = ([1.0, 0.0, 1.0, 0.0, 0.0, 1.0] if imu_model == "rpng"
+              else [1.0, 0.0, 0.0, 1.0, 0.0, 1.0])
+    dw = jnp.asarray(ident6)
+    da = jnp.asarray(ident6)
     tg = jnp.zeros(9)
     q_gyro = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    q_acc = jnp.asarray([0.0, 0.0, 0.0, 1.0])
     if imu_intrinsics:
         dw = dw + 0.004 * jax.random.normal(ks[4], (6,))
         da = da + 0.004 * jax.random.normal(ks[5], (6,))
         w_g = 0.002 * jax.random.normal(ks[6], (3,))
         q_gyro = lie.rot_2_quat(lie.exp_so3(w_g))
+        w_a = 0.002 * jax.random.normal(
+            jax.random.fold_in(ks[6], 1), (3,))
+        q_acc = lie.rot_2_quat(lie.exp_so3(w_a))
     if g_sensitivity:
         tg = tg + 0.004 * jax.random.normal(ks[7], (9,))
     return PerturbedCalib(
         cam_intr=intr, cam_R_ItoC=R, cam_p_IinC=p, calib_dt=dt,
-        imu_dw=dw, imu_da=da, imu_tg=tg, imu_q_gyro=q_gyro,
+        imu_dw=dw, imu_da=da, imu_tg=tg, imu_q_gyro=q_gyro, imu_q_acc=q_acc,
     )

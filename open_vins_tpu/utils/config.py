@@ -50,11 +50,27 @@ class CameraCalib(NamedTuple):
 
 
 class ImuCalib(NamedTuple):
+    """IMU noise densities + intrinsic initial values.
+
+    The intrinsic fields mirror VioManagerOptions' yaml-seeded state values
+    (VioManagerOptions.h:306-353): Dw/Da are the INVERSES of the yaml's
+    Tw/Ta, packed per-model (kalibr: lower-triangular column stack; rpng:
+    upper-triangular column stack — State::Dm, State.h:91-102), tg is the
+    column-major gravity-sensitivity stack, and the quaternions are
+    R_GYROtoIMU / R_ACCtoIMU (transposes of the yaml's R_IMUtoGYRO /
+    R_IMUtoACC)."""
+
     sigma_w: float
     sigma_wb: float
     sigma_a: float
     sigma_ab: float
     rate: float
+    model: str = "kalibr"  # "kalibr" | "rpng"
+    dw: tuple = (1.0, 0.0, 0.0, 1.0, 0.0, 1.0)
+    da: tuple = (1.0, 0.0, 0.0, 1.0, 0.0, 1.0)
+    tg: tuple = (0.0,) * 9
+    q_gyro: tuple = (0.0, 0.0, 0.0, 1.0)  # JPL [x,y,z,w]
+    q_acc: tuple = (0.0, 0.0, 0.0, 1.0)
 
 
 class TrackerConfig(NamedTuple):
@@ -181,12 +197,58 @@ def load(config_path: str, warn_unknown: bool = True) -> VioConfig:
             resolution=tuple(c["resolution"]),
         ))
 
+    # IMU model + intrinsic initial values (StateOptions.h:141-146,
+    # VioManagerOptions.h:306-353): yaml carries the forward maps Tw/Ta and
+    # the IMU→sensor rotations; the state stores their inverses/transposes.
+    imu_model_str = str(imu_y.get("model", "kalibr")).lower()
+    if imu_model_str == "calibrated":
+        imu_model_str = "kalibr"
+    if imu_model_str not in ("kalibr", "rpng"):
+        raise ValueError(f"invalid imu model: {imu_model_str}")
+
+    def _mat3(key, default):
+        return np.asarray(imu_y.get(key, default), dtype=np.float64)
+
+    I3 = np.eye(3)
+    Tw = _mat3("Tw", I3)
+    Ta = _mat3("Ta", I3)
+    Tg_mat = _mat3("Tg", np.zeros((3, 3)))
+    R_IMUtoGYRO = _mat3("R_IMUtoGYRO", I3)
+    R_IMUtoACC = _mat3("R_IMUtoACC", I3)
+    Dw_m = np.linalg.solve(Tw, I3)
+    Da_m = np.linalg.solve(Ta, I3)
+    if not (np.isfinite(Dw_m).all() and np.isfinite(Da_m).all()):
+        raise ValueError(f"singular IMU intrinsic matrix in {imu_file}")
+    if imu_model_str == "kalibr":
+        dw6 = (Dw_m[0, 0], Dw_m[1, 0], Dw_m[2, 0],
+               Dw_m[1, 1], Dw_m[2, 1], Dw_m[2, 2])
+        da6 = (Da_m[0, 0], Da_m[1, 0], Da_m[2, 0],
+               Da_m[1, 1], Da_m[2, 1], Da_m[2, 2])
+    else:  # rpng: upper triangular (State.h:96-100)
+        dw6 = (Dw_m[0, 0], Dw_m[0, 1], Dw_m[1, 1],
+               Dw_m[0, 2], Dw_m[1, 2], Dw_m[2, 2])
+        da6 = (Da_m[0, 0], Da_m[0, 1], Da_m[1, 1],
+               Da_m[0, 2], Da_m[1, 2], Da_m[2, 2])
+    tg9 = tuple(float(x) for x in Tg_mat.T.reshape(-1))  # column-major
+    from open_vins_tpu.ops import lie as _lie
+    import jax.numpy as _jnp
+
+    def _quat_of(R_to_imu):
+        q = _lie.rot_2_quat(_jnp.asarray(R_to_imu, _jnp.float32))
+        return tuple(float(x) for x in np.asarray(q))
+
     imu = ImuCalib(
         sigma_w=float(imu_y["gyroscope_noise_density"]),
         sigma_wb=float(imu_y["gyroscope_random_walk"]),
         sigma_a=float(imu_y["accelerometer_noise_density"]),
         sigma_ab=float(imu_y["accelerometer_random_walk"]),
         rate=float(imu_y.get("update_rate", 200.0)),
+        model=imu_model_str,
+        dw=tuple(float(x) for x in dw6),
+        da=tuple(float(x) for x in da6),
+        tg=tg9,
+        q_gyro=_quat_of(R_IMUtoGYRO.T),
+        q_acc=_quat_of(R_IMUtoACC.T),
     )
 
     integration = str(get("integration", "rk4"))
@@ -206,6 +268,7 @@ def load(config_path: str, warn_unknown: bool = True) -> VioConfig:
         calib_cam_intrinsics=bool(get("calib_cam_intrinsics", False)),
         calib_imu_intrinsics=bool(get("calib_imu_intrinsics", False)),
         calib_imu_g_sensitivity=bool(get("calib_imu_g_sensitivity", False)),
+        imu_model=imu.model,
         integration=integration,
         use_fej=bool(get("use_fej", True)),
         use_zupt=bool(get("try_zupt", False)),
