@@ -36,6 +36,9 @@ def main():
                     help="track both eyes (left-master KLT join)")
     ap.add_argument("--num-pts", type=int, default=150)
     ap.add_argument("--timing", default="", help="write per-frame timing CSV")
+    ap.add_argument("--viz-dir", default="", help="write tracked-feature "
+                    "debug images (TrackBase::display_history parity)")
+    ap.add_argument("--viz-every", type=int, default=10)
     args = ap.parse_args()
 
     import jax
@@ -62,8 +65,31 @@ def main():
     vc = cfgmod.load(args.config)
     cfg = vc.filter._replace(num_cams=num_cams)
     cams = vc.cams[:num_cams]
+    # downsample_cameras (TrackBase.h:106): track at half resolution with
+    # halved fx/fy/cx/cy — image and camera model stay consistent
+    downsample = bool(vc.downsample_cameras)
+    if downsample:
+        cams = [c._replace(
+            intrinsics=np.concatenate(
+                [np.asarray(c.intrinsics[:4]) * 0.5, c.intrinsics[4:]]
+            ).astype(np.float32),
+            resolution=(c.resolution[0] // 2, c.resolution[1] // 2),
+        ) for c in cams]
     tri_opts = vc.tri  # fi_* yaml keys (FeatureInitializerOptions parity)
     kparams = klt.KltParams(num_features=args.num_pts)
+    hist_method = vc.tracker.histogram_method
+    # per-camera masks (VioManagerOptions.h:281-299; >127 = masked out)
+    det_mask0 = None
+    if vc.tracker.use_mask and vc.tracker.mask_paths:
+        import cv2
+
+        m = cv2.imread(vc.tracker.mask_paths[0], cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            raise FileNotFoundError(
+                f"mask0 not readable: {vc.tracker.mask_paths[0]}")
+        if downsample:
+            m = m[::2, ::2]
+        det_mask0 = jnp.asarray(m < 128)  # True = usable
 
     native.build()
     ds = native.EurocDataset(args.root, num_cams=num_cams)
@@ -92,11 +118,27 @@ def main():
                                   cams[0].resolution[0], args.num_pts,
                                   num_aruco_tags=cfg.num_aruco_tags)
     step = jax.jit(lambda s, t, f: manager.step_frame(s, t, cfg, tri_opts, f))
-    K_win = int(vc.imu.rate / 10) + 8
+    # IMU window capacity: one processed-frame interval of samples.  With a
+    # track_frequency throttle the interval stretches to 1/track_frequency
+    # (plus one dropped frame of slack for timestamp jitter).
+    frame_dt = 0.1
+    if vc.tracker.track_frequency > 0:
+        frame_dt = max(frame_dt, 1.0 / vc.tracker.track_frequency + 0.1)
+    K_win = int(vc.imu.rate * frame_dt) + 8
 
     from open_vins_tpu.utils.timing import FrameTimer
 
     timer = FrameTimer(args.timing or None)
+
+    viz = None
+    if args.viz_dir:
+        from open_vins_tpu.frontend.visualization import TrackVisualizer
+
+        viz = TrackVisualizer(args.viz_dir, every=args.viz_every)
+
+    def prep(img):
+        img = jnp.asarray(img)
+        return klt.downsample2(img) if downsample else img
 
     def track(tstate, k, first):
         img = ds.prefetch_get(0, k)
@@ -107,15 +149,20 @@ def main():
             if img_r is None:
                 return tstate, None
             tstate, ids, uv, uvn, mask = tracker.track_frame_stereo(
-                tstate, jnp.asarray(img), jnp.asarray(img_r),
+                tstate, prep(img), prep(img_r),
                 zetas[0], zetas[1], kparams, cam_model=cam_model,
-                first_frame=first)
+                first_frame=first, hist_method=hist_method,
+                det_mask=det_mask0)
         else:
             tstate, ids1, uv1, uvn1, mask1 = tracker.track_frame(
-                tstate, jnp.asarray(img), zetas[0], kparams,
-                cam_model=cam_model, first_frame=first)
+                tstate, prep(img), zetas[0], kparams,
+                cam_model=cam_model, first_frame=first,
+                hist_method=hist_method, det_mask=det_mask0)
             ids, uv, uvn, mask = (ids1[None], uv1[None], uvn1[None],
                                   mask1[None])
+        if viz is not None:
+            viz.feed(np.asarray(prep(img)), np.asarray(ids[0]),
+                     np.asarray(uv[0]), np.asarray(mask[0]))
         return tstate, (ids, uv, uvn, mask)
 
     # ------------------------------------------------------------------
@@ -235,9 +282,24 @@ def main():
     sync = bool(args.timing)
     out_t, out_p, out_q = [], [], []
     t_prev = float(state.t)  # last initialized/caught-up state time
+    # track_frequency (TrackBase.h:109 / VioManager feed throttle): drop
+    # camera frames arriving faster than the configured processing rate
+    # (5% tolerance absorbs timestamp jitter); the skipped frames' IMU
+    # accumulates into the next processed window.
+    min_track_dt = (0.95 / vc.tracker.track_frequency
+                    if vc.tracker.track_frequency > 0 else 0.0)
+    n_skipped = 0
     t_start = time.time()
     for k in range(init_k + 1, n_frames):
         tk = cam_t[k] - t0
+        if tk - t_prev < min_track_dt:
+            # consume the decoded images so the sequential prefetcher
+            # keeps advancing past the dropped frame
+            ds.prefetch_get(0, k)
+            if num_cams == 2:
+                ds.prefetch_get(1, k)
+            n_skipped += 1
+            continue
         timer.start_frame()
         tstate, meas = track(tstate, k, False)
         if meas is None:
@@ -272,6 +334,9 @@ def main():
 
     state.cov.block_until_ready()  # drain the async queue before timing
     dt_total = time.time() - t_start
+    if n_skipped:
+        print(f"track_frequency {vc.tracker.track_frequency:.1f} Hz: "
+              f"skipped {n_skipped} frames")
     print(f"processed {len(out_t)} frames in {dt_total:.1f}s "
           f"({len(out_t)/max(dt_total,1e-9):.1f} fps)")
     ds.prefetch_stop()

@@ -235,8 +235,102 @@ def detect_grid(img, occupancy_pts, occupancy_mask, params: KltParams,
 
 
 def equalize(img):
-    """Global contrast normalization (the reference's histogram-equalize
-    role, TrackKLT.cpp:56-75; a rank-free approximation that is TPU-cheap)."""
+    """Global contrast normalization (a rank-free stretch; cheap default
+    used by the sim/descriptor paths — see `equalize_method` for the
+    reference's NONE/HISTOGRAM/CLAHE modes, TrackKLT.cpp:56-75)."""
     lo = jnp.percentile(img, 2.0)
     hi = jnp.percentile(img, 98.0)
     return jnp.clip((img - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+
+
+_EQ_BINS = 256
+
+
+def _hist_lut(counts, total):
+    """Equalization LUT from bin counts: the normalized cdf (the classic
+    cv::equalizeHist map, with the cdf-min offset)."""
+    cdf = jnp.cumsum(counts)
+    cdf_min = cdf[jnp.argmax(counts > 0)]
+    denom = jnp.maximum(total - cdf_min, 1.0)
+    return jnp.clip((cdf - cdf_min) / denom, 0.0, 1.0)
+
+
+def equalize_hist(img):
+    """Full-image histogram equalization (cv::equalizeHist parity,
+    TrackKLT.cpp:58-60).  img float32 [H,W] in [0,1] -> same."""
+    q = jnp.clip((img * (_EQ_BINS - 1)).astype(jnp.int32), 0, _EQ_BINS - 1)
+    counts = jnp.zeros((_EQ_BINS,), jnp.float32).at[q.reshape(-1)].add(1.0)
+    lut = _hist_lut(counts, img.size)
+    return lut[q]
+
+
+def equalize_clahe(img, clip_limit=10.0, grid=8):
+    """Contrast-limited adaptive histogram equalization
+    (cv::createCLAHE(10, (8,8)) parity, TrackKLT.cpp:61-64).
+
+    TPU-shaped: per-tile histograms by one scatter-add over flat
+    (tile·bin) indices, clip + uniform redistribution of the excess, then
+    per-pixel bilinear interpolation between the four neighboring tile
+    LUTs (the standard CLAHE seam-removal).  Image dims need not divide
+    the grid — tiles are ceil-sized and the histogram pads with weight 0.
+    """
+    H, W = img.shape
+    th = -(-H // grid)  # ceil tile sizes
+    tw = -(-W // grid)
+    q = jnp.clip((img * (_EQ_BINS - 1)).astype(jnp.int32), 0, _EQ_BINS - 1)
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    ty = yy // th
+    tx = xx // tw
+    tile = ty * grid + tx
+    flat = (tile * _EQ_BINS + q).reshape(-1)
+    counts = jnp.zeros((grid * grid * _EQ_BINS,), jnp.float32).at[flat].add(
+        1.0).reshape(grid * grid, _EQ_BINS)
+    # contrast limiting: clip each bin at clip_limit × the uniform level and
+    # spread the clipped mass uniformly (cv::CLAHE semantics)
+    tile_total = counts.sum(axis=1, keepdims=True)
+    limit = clip_limit * jnp.maximum(tile_total / _EQ_BINS, 1.0)
+    clipped = jnp.minimum(counts, limit)
+    excess = (counts - clipped).sum(axis=1, keepdims=True)
+    counts = clipped + excess / _EQ_BINS
+    luts = jax.vmap(_hist_lut)(counts, tile_total[:, 0])  # [T, 256]
+
+    # bilinear interpolation between the 4 surrounding tile centers
+    cy = (yy + 0.5) / th - 0.5  # tile-center coordinates
+    cx = (xx + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, grid - 1)
+    x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, grid - 1)
+    y1 = jnp.clip(y0 + 1, 0, grid - 1)
+    x1 = jnp.clip(x0 + 1, 0, grid - 1)
+    fy = jnp.clip(cy - y0, 0.0, 1.0)
+    fx = jnp.clip(cx - x0, 0.0, 1.0)
+    v00 = luts[y0 * grid + x0, q]
+    v01 = luts[y0 * grid + x1, q]
+    v10 = luts[y1 * grid + x0, q]
+    v11 = luts[y1 * grid + x1, q]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def equalize_method(img, method: str):
+    """Dispatch the configured pre-tracking normalization
+    (TrackBase::HistogramMethod NONE/HISTOGRAM/CLAHE, TrackKLT.cpp:56-75)."""
+    m = method.upper()
+    if m == "NONE":
+        return img
+    if m == "CLAHE":
+        return equalize_clahe(img)
+    if m == "HISTOGRAM":
+        return equalize_hist(img)
+    if m == "STRETCH":  # this repo's rank-free extra (sim default)
+        return equalize(img)
+    raise ValueError(f"unknown histogram_method: {method}")
+
+
+def downsample2(img):
+    """2x2 average-pool halving (the reference's downsample_cameras
+    pyrDown role, TrackBase.h:106; pair with halved fx/fy/cx/cy)."""
+    h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+    x = img[:h2, :w2]
+    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2]
+                   + x[1::2, 1::2])

@@ -50,20 +50,33 @@ def init_tracker(height, width, num_pts, seed=0, num_aruco_tags=0):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cam_model"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "cam_model", "hist_method"))
 def track_frame(state: TrackerState, img, zeta, params: klt.KltParams,
-                cam_model: str = "radtan", first_frame=False):
+                cam_model: str = "radtan", first_frame=False,
+                hist_method: str = "STRETCH", det_mask=None):
     """Process one frame.  Returns (new_state, ids, uv, uvn, mask).
 
     `first_frame` may be a traced bool: when True tracking is skipped and
     only detection runs.
+    `hist_method`: NONE | HISTOGRAM | CLAHE | STRETCH pre-tracking
+    normalization (TrackBase::HistogramMethod, TrackKLT.cpp:56-75).
+    `det_mask`: optional [H, W] bool, True = usable region (the reference's
+    per-camera mask image, TrackBase.h:97-104 `use_mask`): features are
+    neither detected nor kept inside masked-out areas.
     """
     P = state.pts.shape[0]
-    img = klt.equalize(img)
+    img = klt.equalize_method(img, hist_method)
 
     # --- track existing features from the previous frame
     pts1, ok = klt.track(state.prev_img, img, state.pts, params)
     ok = ok & state.valid & jnp.logical_not(first_frame)
+    if det_mask is not None:
+        # kill tracked points that land in the masked-out region
+        H, W = img.shape
+        iy = jnp.clip(jnp.round(pts1[:, 1]).astype(jnp.int32), 0, H - 1)
+        ix = jnp.clip(jnp.round(pts1[:, 0]).astype(jnp.int32), 0, W - 1)
+        ok = ok & det_mask[iy, ix]
 
     # --- RANSAC on undistorted normalized coords (TrackKLT.cpp:829-886)
     uvn0 = cameras.undistort(cam_model, zeta, state.pts)
@@ -77,6 +90,14 @@ def track_frame(state: TrackerState, img, zeta, params: klt.KltParams,
 
     # --- re-detect to fill empty slots (grid + occupancy dedup)
     new_pts, new_ok = klt.detect_grid(img, pts1, ok, params, P)
+    if det_mask is not None:
+        # reject detections inside the masked-out region (the reference
+        # hands the mask to the detector; filtering after is equivalent
+        # and avoids fake gradients at mask boundaries)
+        H, W = img.shape
+        ny = jnp.clip(jnp.round(new_pts[:, 1]).astype(jnp.int32), 0, H - 1)
+        nx = jnp.clip(jnp.round(new_pts[:, 0]).astype(jnp.int32), 0, W - 1)
+        new_ok = new_ok & det_mask[ny, nx]
     free = ~ok
     # rank free slots and new detections; place i-th detection in i-th free
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
@@ -104,36 +125,58 @@ def track_frame(state: TrackerState, img, zeta, params: klt.KltParams,
     return new_state, ids_out, pts_out, uvn_out, valid_out
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cam_model"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "cam_model", "hist_method"))
+def track_frame_multi(state: TrackerState, imgs, zetas,
+                      params: klt.KltParams, cam_model: str = "radtan",
+                      first_frame=False, hist_method: str = "STRETCH",
+                      det_mask=None):
+    """N-camera tracking: cam 0 is the temporal master; every other camera
+    gets a master→cam_i KLT pass on the current frame set with epipolar
+    RANSAC, sharing the master ids.
+
+    Generalizes the reference's per-camera-pair loop
+    (TrackKLT::feed_new_camera binocular loop, TrackKLT.cpp:80-93 +
+    feed_stereo:202-393) to KAIST-style N-camera rigs: returns
+    (new_state, ids [N,P], uv [N,P,2], uvn [N,P,2], mask [N,P]) in
+    FrameInput layout.  `imgs` [N,H,W] stacked (static N); `zetas` [N,8].
+    `hist_method`/`det_mask`: see track_frame (mask applies to the master
+    eye)."""
+    N = imgs.shape[0]
+    new_state, ids, uv_0, uvn_0, mask_0 = track_frame(
+        state, imgs[0], zetas[0], params, cam_model=cam_model,
+        first_frame=first_frame, hist_method=hist_method, det_mask=det_mask,
+    )
+    ids_all, uv_all, uvn_all, mask_all = [ids], [uv_0], [uvn_0], [mask_0]
+    key = new_state.key
+    max_f = jnp.maximum(zetas[0][0], zetas[0][1])
+    for i in range(1, N):  # static camera count — unrolled per-camera join
+        img_i = klt.equalize_method(imgs[i], hist_method)
+        uv_i, ok_i = klt.track(new_state.prev_img, img_i, uv_0, params)
+        uvn_i = cameras.undistort(cam_model, zetas[i], uv_i)
+        key, sub = jax.random.split(key)
+        inl, _ = ransac.ransac_fundamental(
+            uvn_0, uvn_i, mask_0 & ok_i, sub, thresh=2.0 / max_f
+        )
+        mask_i = mask_0 & ok_i & inl
+        ids_all.append(jnp.where(mask_i, ids, -1))
+        uv_all.append(uv_i)
+        uvn_all.append(uvn_i)
+        mask_all.append(mask_i)
+    new_state = new_state._replace(key=key)
+    return (new_state, jnp.stack(ids_all), jnp.stack(uv_all),
+            jnp.stack(uvn_all), jnp.stack(mask_all))
+
+
 def track_frame_stereo(state: TrackerState, img_l, img_r, zeta_l, zeta_r,
                        params: klt.KltParams, cam_model: str = "radtan",
-                       first_frame=False):
-    """Stereo tracking: left eye is the temporal master; the right eye's
-    measurements come from a left→right KLT pass on the current pair with
-    epipolar RANSAC, sharing the left ids.
-
-    Mirrors TrackKLT::feed_stereo (TrackKLT.cpp:202-393): temporal tracking
-    plus a left↔right id join; returns (new_state, ids [2,P], uv [2,P,2],
-    uvn [2,P,2], mask [2,P]) in FrameInput layout (num_cams=2).
-    """
-    new_state, ids, uv_l, uvn_l, mask_l = track_frame(
-        state, img_l, zeta_l, params, cam_model=cam_model,
-        first_frame=first_frame,
+                       first_frame=False, hist_method: str = "STRETCH",
+                       det_mask=None):
+    """Stereo tracking — the N=2 case of `track_frame_multi` (left eye is
+    the temporal master, shared ids via a left→right join; mirrors
+    TrackKLT::feed_stereo, TrackKLT.cpp:202-393)."""
+    return track_frame_multi(
+        state, jnp.stack([img_l, img_r]), jnp.stack([zeta_l, zeta_r]),
+        params, cam_model=cam_model, first_frame=first_frame,
+        hist_method=hist_method, det_mask=det_mask,
     )
-    img_r_eq = klt.equalize(img_r)
-    uv_r, ok_r = klt.track(new_state.prev_img, img_r_eq, uv_l, params)
-    uvn_r = cameras.undistort(cam_model, zeta_r, uv_r)
-    # epipolar consistency on normalized coords
-    key, sub = jax.random.split(new_state.key)
-    max_f = jnp.maximum(zeta_l[0], zeta_l[1])
-    inl, _ = ransac.ransac_fundamental(
-        uvn_l, uvn_r, mask_l & ok_r, sub, thresh=2.0 / max_f
-    )
-    mask_r = mask_l & ok_r & inl
-    new_state = new_state._replace(key=key)
-
-    ids2 = jnp.stack([ids, jnp.where(mask_r, ids, -1)])
-    uv2 = jnp.stack([uv_l, uv_r])
-    uvn2 = jnp.stack([uvn_l, uvn_r])
-    mask2 = jnp.stack([mask_l, mask_r])
-    return new_state, ids2, uv2, uvn2, mask2

@@ -87,6 +87,9 @@ class TrackerConfig(NamedTuple):
     downsample_cameras: bool = False
     histogram_method: str = "HISTOGRAM"  # NONE | HISTOGRAM | CLAHE
     use_mask: bool = False
+    mask_paths: tuple = ()  # absolute per-camera mask image paths
+    # (VioManagerOptions.h:281-299: mask<i> keys, resolved against the
+    # config folder; pixels >127 are masked OUT)
     use_aruco: bool = False
     num_aruco: int = 1024
     downsize_aruco: bool = True
@@ -309,6 +312,10 @@ def load(config_path: str, warn_unknown: bool = True) -> VioConfig:
         downsample_cameras=bool(get("downsample_cameras", False)),
         histogram_method=str(get("histogram_method", "HISTOGRAM")),
         use_mask=bool(get("use_mask", False)),
+        mask_paths=tuple(
+            os.path.join(base, str(get(f"mask{i}", "")))
+            for i in range(num_cams)
+        ) if bool(est_raw.get("use_mask", False)) else (),
         use_aruco=bool(get("use_aruco", False)),
         num_aruco=int(get("num_aruco", 1024)),
         downsize_aruco=bool(get("downsize_aruco", True)),

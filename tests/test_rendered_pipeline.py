@@ -39,24 +39,37 @@ def small_calib(num_cams, baseline=0.11):
     return intr, Rs, ps
 
 
-def make_params(num_cams=1, duration=8.0):
+def make_params(num_cams=1, duration=8.0, cam_rate=20.0, num_pts=60,
+                width=320, height=240, map_size=384):
     return simulator.SimParams(
-        imu_rate=200.0, cam_rate=20.0, num_cams=num_cams, num_pts=60,
-        map_size=384, duration=duration, sigma_pix=0.0, start_offset=3.0,
-        width=320, height=240, min_depth=4.0, max_depth=9.0,
+        imu_rate=200.0, cam_rate=cam_rate, num_cams=num_cams,
+        num_pts=num_pts, map_size=map_size, duration=duration,
+        sigma_pix=0.0, start_offset=3.0,
+        width=width, height=height, min_depth=4.0, max_depth=9.0,
     )
 
 
-def closed_loop(num_cams, duration, max_slam=0):
-    params = make_params(num_cams=num_cams, duration=duration)
+def closed_loop(num_cams, duration, max_slam=0, cam_rate=20.0, num_pts=60,
+                width=320, height=240, map_size=384, fxfy=260.0,
+                max_clones=8, max_msckf=20, collect_q=False,
+                grid=(8, 6)):
+    params = make_params(num_cams=num_cams, duration=duration,
+                         cam_rate=cam_rate, num_pts=num_pts, width=width,
+                         height=height, map_size=map_size)
     calib = small_calib(num_cams)
+    if fxfy != 260.0 or width != 320:
+        intr = jnp.tile(
+            jnp.asarray([fxfy, fxfy, width / 2.0, height / 2.0,
+                         0.0, 0.0, 0.0, 0.0]), (num_cams, 1))
+        calib = (intr, calib[1], calib[2])
     sim = simulator.build(params, seed=0, calib=calib)
     run = runner.stage_run(sim, params)
 
-    cfg = FilterConfig(max_clones=8, max_slam=max_slam, num_cams=num_cams,
-                       max_msckf_in_update=20)
+    cfg = FilterConfig(max_clones=max_clones, max_slam=max_slam,
+                       num_cams=num_cams, max_msckf_in_update=max_msckf)
     tri_opts = tri.TriangulationOptions()
-    kparams = klt.KltParams(num_features=60, num_pyr=4, grid_x=8, grid_y=6)
+    kparams = klt.KltParams(num_features=num_pts, num_pyr=4, grid_x=grid[0],
+                            grid_y=grid[1])
     zeta = calib[0][0]  # single-camera intrinsics row [8]
 
     state = manager.initialize_from_gt(
@@ -65,44 +78,45 @@ def closed_loop(num_cams, duration, max_slam=0):
         jax.vmap(lie.rot_2_quat)(sim.cam_R_ItoC), sim.cam_p_IinC,
         sim.cam_intr,
     )
-    table = ft.init_table(cfg, 192)
-    tstate = tracker.init_tracker(params.height, params.width, 60)
+    table = ft.init_table(cfg, max(192, 3 * num_pts))
+    tstate = tracker.init_tracker(params.height, params.width, num_pts)
 
     step = jax.jit(lambda s, t, f: manager.step_frame(s, t, cfg, tri_opts, f))
     n_frames = simulator.n_cam_frames(params)
 
-    # prime the tracker on frame 0 (the init anchor)
-    img0 = render.render_frame(sim, params, 0)
-    if num_cams == 2:
-        img0r = render.render_frame(sim, params, 0, cam=1)
-        tstate, *_ = tracker.track_frame_stereo(
-            tstate, img0, img0r, zeta, zeta, kparams, first_frame=True)
-    else:
-        tstate, *_ = tracker.track_frame(tstate, img0, zeta, kparams,
-                                         first_frame=True)
+    zetas = jnp.tile(zeta[None], (num_cams, 1))
 
-    est_p = []
+    def track_all(tstate, k, first=False):
+        imgs = jnp.stack([render.render_frame(sim, params, k, cam=c)
+                          for c in range(num_cams)])
+        if num_cams >= 2:
+            return tracker.track_frame_multi(
+                tstate, imgs, zetas, kparams, first_frame=first)
+        tstate, ids1, uv1, uvn1, mask1 = tracker.track_frame(
+            tstate, imgs[0], zeta, kparams, first_frame=first)
+        return tstate, ids1[None], uv1[None], uvn1[None], mask1[None]
+
+    # prime the tracker on frame 0 (the init anchor)
+    tstate, *_ = track_all(tstate, 0, first=True)
+
+    est_p, est_q = [], []
     for k in range(1, n_frames):
-        img = render.render_frame(sim, params, k)
-        if num_cams == 2:
-            img_r = render.render_frame(sim, params, k, cam=1)
-            tstate, ids, uv, uvn, mask = tracker.track_frame_stereo(
-                tstate, img, img_r, zeta, zeta, kparams)
-        else:
-            tstate, ids1, uv1, uvn1, mask1 = tracker.track_frame(
-                tstate, img, zeta, kparams)
-            ids, uv, uvn, mask = (ids1[None], uv1[None], uvn1[None],
-                                  mask1[None])
+        tstate, ids, uv, uvn, mask = track_all(tstate, k)
         fr = jax.tree_util.tree_map(lambda a: a[k - 1], run.frames)
         fr = fr._replace(ids=ids, uv=uv, uvn=uvn, mask=mask)
         state, table, diag = step(state, table, fr)
         est_p.append(np.array(state.p))
+        if collect_q:
+            est_q.append(np.array(state.q))
 
     est_p = np.asarray(est_p)
     gt_p = np.asarray(run.gt_p)[1:n_frames]
     assert np.all(np.isfinite(est_p))
     assert np.all(np.isfinite(np.array(state.cov)))
     rmse = float(np.sqrt(((est_p - gt_p) ** 2).sum(1).mean()))
+    if collect_q:
+        gt_q = np.asarray(run.gt_q)[1:n_frames]
+        return rmse, state, est_p, np.asarray(est_q), gt_p, gt_q
     return rmse, state
 
 
@@ -121,3 +135,41 @@ def test_stereo_rendered_accuracy():
     (TrackKLT.cpp:202-393)."""
     rmse, _ = closed_loop(num_cams=2, duration=4.0)
     assert rmse < 0.15, f"stereo rendered-image RMSE too high: {rmse:.3f} m"
+
+
+@pytest.mark.slow
+def test_reference_rig_ate():
+    """Reference-rig rendered closed loop (VERDICT round-2 #2): 752×480
+    stereo at 200 pts/cam with SLAM, 30 s — the se3-aligned ATE must beat
+    the reference's published EuRoC mono ov_slam band (0.058–0.124 m,
+    BASELINE.md / docs/eval-error.dox:244).  Images are rendered (not
+    TrackSIM): the whole KLT → RANSAC → triangulation → MSCKF+SLAM chain
+    carries the error budget.  10 Hz keeps the CPU cost tractable; the
+    evidence is the resolution/feature-count/duration, not the frame rate.
+    """
+    from open_vins_tpu.eval import metrics
+
+    rmse, state, est_p, est_q, gt_p, gt_q = closed_loop(
+        num_cams=2, duration=30.0, cam_rate=20.0, num_pts=200,
+        width=752, height=480, map_size=1024, fxfy=458.0,
+        max_slam=25, max_clones=11, max_msckf=40, collect_q=True,
+        grid=(20, 15))
+    R_est = np.array(jax.vmap(lie.quat_2_rot)(jnp.asarray(est_q)))
+    R_gt = np.array(jax.vmap(lie.quat_2_rot)(jnp.asarray(gt_q)))
+    # metrics.ate expects world-frame body rotations R_GtoI^T
+    ori, pos = metrics.ate(est_p, np.transpose(R_est, (0, 2, 1)),
+                           gt_p, np.transpose(R_gt, (0, 2, 1)),
+                           method="se3")
+    print(f"reference-rig ATE: {pos.rmse:.4f} m / {ori.rmse:.3f} deg "
+          f"(raw RMSE {rmse:.4f} m)")
+    assert pos.rmse < 0.124, \
+        f"se3 ATE {pos.rmse:.3f} m above the reference EuRoC band"
+
+
+@pytest.mark.slow
+def test_trinocular_rendered_accuracy():
+    """Three-camera rig (KAIST-style) through the generalized N-camera
+    join (TrackKLT.cpp:80-93 binocular loop at N=3): the filter must
+    consume all three cameras' shared-id measurements and stay accurate."""
+    rmse, _ = closed_loop(num_cams=3, duration=4.0)
+    assert rmse < 0.15, f"trinocular rendered-image RMSE too high: {rmse:.3f} m"
