@@ -8,16 +8,26 @@ Prints one JSON line per metric {"metric", "value", "unit", "vs_baseline"}:
      "EKF update p50 latency at speed-of-light per chip").  vs_baseline is
      the 20 Hz frame budget (50 ms) divided by the p50 — how many full-state
      updates fit in one real-time frame period.
-  2. sim_vio_ensemble8_agg_frames_per_sec_1chip — aggregate frames/s of 8
+  2. sim_vio_rmse_m / sim_vio_pose_nees — accuracy/consistency of the SAME
+     run the throughput metrics time (bench honesty: a fast-but-wrong run
+     cannot publish silently).  vs_baseline for the RMSE is the reference's
+     best published EuRoC ATE (0.058 m, BASELINE.md) divided by the value.
+  3. sim_vio_ensemble8_agg_frames_per_sec_1chip — aggregate frames/s of 8
      independent vmapped filter streams on one chip (the batch-scaling
      axis: small-matrix latency amortizes across streams).  vs_baseline =
      aggregate / 20.
-  3. sim_vio_frames_per_sec_1chip — closed-loop sim VIO frames/s on one
+  4. sim_vio_frames_per_sec_1chip — closed-loop sim VIO frames/s on one
      chip (LAST line = the headline metric).  The reference runs real-time
      on a desktop CPU with 20 Hz cameras — i.e. ~20 frames/s sustained —
      so vs_baseline = frames_per_sec / 20.
+
+Health gate: RMSE must stay under 0.05 m (the run's actual accuracy is
+~2 cm; a silent 2.5x regression zeroes every throughput metric).  A
+deliberate 10x pixel-noise injection (--noise-mult 10) flips the bench
+unhealthy — pinned by tests/test_bench_gate.py.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -29,8 +39,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # platform.
 os.environ.setdefault("OVT_JAX_CACHE", os.path.expanduser("~/.cache/ovt_tpu_cache"))
 
+RMSE_GATE_M = 0.05
 
-def main():
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="5 s sim, headline+accuracy metrics only (CI use)")
+    ap.add_argument("--noise-mult", type=float, default=1.0,
+                    help="pixel-noise multiplier (health-gate self test)")
+    args = ap.parse_args(argv)
     import jax
     import numpy as np
 
@@ -47,7 +65,8 @@ def main():
     # (config/euroc_mav/estimator_config.yaml:25-28,84).
     params = simulator.SimParams(
         imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=200,
-        map_size=2048, duration=20.0, sigma_pix=1.0, start_offset=3.0,
+        map_size=2048, duration=8.0 if args.quick else 20.0,
+        sigma_pix=1.0 * args.noise_mult, start_offset=3.0,
     )
     # integration="analytical": the ACI² closed-form integrator (a first-
     # class reference option, Propagator.cpp:588-829) whose per-interval
@@ -71,6 +90,54 @@ def main():
     state, outs = fil(run)
     jax.block_until_ready(state.cov)  # compile + warmup
 
+    # --- accuracy + consistency of the benched run (health gate inputs).
+    # Error convention (CLAUDE.md): δp = gt − est, δθ = −log(R_gt R_estᵀ).
+    from open_vins_tpu.ops import lie
+    import jax.numpy as _jnp
+
+    ps = np.array(outs[1])
+    qs = np.array(outs[0])
+    covs6 = np.array(outs[3])
+    gt_p = np.array(run.gt_p)[1:]
+    gt_q = np.array(run.gt_q)[1:]
+    rmse = float(np.sqrt(((gt_p - ps) ** 2).sum(1).mean()))
+    R_est = np.array(jax.vmap(lie.quat_2_rot)(_jnp.asarray(qs)))
+    R_gt = np.array(jax.vmap(lie.quat_2_rot)(_jnp.asarray(gt_q)))
+    nees_vals = []
+    nf = len(gt_p)
+    for k in range(nf // 4, nf):
+        dth = -np.array(lie.log_so3(_jnp.asarray(R_gt[k] @ R_est[k].T)))
+        e = np.concatenate([dth, gt_p[k] - ps[k]])
+        P6 = covs6[k] + 1e-12 * np.eye(6)
+        nees_vals.append(e @ np.linalg.solve(P6, e))
+    nees_mean = float(np.mean(nees_vals))
+    finite = bool(np.isfinite(np.array(state.cov)).all())
+    # NEES must be NEAR dof from both sides: >>6 = overconfident covariance,
+    # <<6 = the vision updates are not engaging (e.g. everything
+    # chi2-rejected and the filter coasting open-loop on the IMU — exactly
+    # what a 10x measurement-noise injection produces on a short run)
+    healthy = finite and rmse < RMSE_GATE_M and 0.2 < nees_mean < 30.0
+    print(json.dumps({
+        "metric": "sim_vio_rmse_m",
+        "value": round(rmse, 4) if finite else float("nan"),
+        "unit": "m",
+        "vs_baseline": round(0.058 / max(rmse, 1e-9), 2) if finite else 0.0,
+    }))
+    print(json.dumps({
+        "metric": "sim_vio_pose_nees",
+        "value": round(nees_mean, 2) if finite else float("nan"),
+        "unit": "dimensionless (dof 6)",
+        "vs_baseline": round(6.0 / max(nees_mean, 1e-9), 2) if finite else 0.0,
+    }))
+    if not healthy:
+        print(json.dumps({
+            "metric": "health_gate",
+            "value": 0.0,
+            "unit": f"UNHEALTHY: rmse={rmse:.3f}m (gate {RMSE_GATE_M}) "
+                    f"nees={nees_mean:.1f} finite={finite}",
+            "vs_baseline": 0.0,
+        }))
+
     # --- metric 1: EKF-update p50 latency at the operating-point state dim.
     # K data-dependent updates are chained inside ONE jit (a lax.scan) so the
     # measurement is device step latency, not host/tunnel dispatch overhead.
@@ -83,71 +150,68 @@ def main():
     ress = jnp.asarray(rng.normal(size=(K, D)) * 0.01, jnp.float32)
     r_diag = jnp.ones(D, jnp.float32)
 
-    @jax.jit
-    def chain(st, Hs, ress):
-        def body(s, hr):
-            H, res = hr
-            return ekf.ekf_update(s, cfg, H, res, r_diag), s.p[0]
-        return jax.lax.scan(body, st, (Hs, ress))
+    n_frames = simulator.n_cam_frames(params) - 1
+    if not args.quick:
+        @jax.jit
+        def chain(st, Hs, ress):
+            def body(s, hr):
+                H, res = hr
+                return ekf.ekf_update(s, cfg, H, res, r_diag), s.p[0]
+            return jax.lax.scan(body, st, (Hs, ress))
 
-    out, _ = chain(state, Hs, ress)
-    jax.block_until_ready(out.cov)
-    lat = []
-    for _ in range(20):
-        t0 = time.perf_counter()
         out, _ = chain(state, Hs, ress)
         jax.block_until_ready(out.cov)
-        lat.append((time.perf_counter() - t0) / K)
-    p50_us = float(np.percentile(lat, 50)) * 1e6
-    print(json.dumps({
-        "metric": "ekf_update_p50_latency_us",
-        "value": round(p50_us, 1),
-        "unit": "us",
-        "vs_baseline": round(50_000.0 / p50_us, 1),  # updates per 50 ms frame
-    }))
+        lat = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            out, _ = chain(state, Hs, ress)
+            jax.block_until_ready(out.cov)
+            lat.append((time.perf_counter() - t0) / K)
+        p50_us = float(np.percentile(lat, 50)) * 1e6
+        print(json.dumps({
+            "metric": "ekf_update_p50_latency_us",
+            "value": round(p50_us, 1),
+            "unit": "us",
+            "vs_baseline": round(50_000.0 / p50_us, 1),  # per 50 ms frame
+        }))
 
-    # --- metric 2: aggregate throughput of an 8-stream vmapped ensemble
-    # (batch axis on one chip; B-sweep measured 1353 / 1436 / 1490 agg fps
-    # at B=4/8/12 after the CholeskyQR2 compression — B=8 is the knee)
-    n_frames = simulator.n_cam_frames(params) - 1
-    B = 8
-    brun = jax.tree_util.tree_map(
-        lambda a: jnp.broadcast_to(a, (B,) + a.shape), run)
-    fil_ens = jax.jit(jax.vmap(
-        lambda r: runner.run_filter(cfg, tri_opts, sim, params, r,
-                                    max_tracks=384)))
-    bstate, bouts = fil_ens(brun)
-    jax.block_until_ready(bstate.cov)  # compile + warmup
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
+        # --- aggregate throughput of an 8-stream vmapped ensemble
+        # (batch axis on one chip; small-matrix latency amortizes across
+        # streams)
+        B = 8
+        brun = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), run)
+        fil_ens = jax.jit(jax.vmap(
+            lambda r: runner.run_filter(cfg, tri_opts, sim, params, r,
+                                        max_tracks=384)))
         bstate, bouts = fil_ens(brun)
-    jax.block_until_ready(bstate.cov)
-    agg_fps = B * n_frames / ((time.time() - t0) / reps)
-    ps0 = np.array(bouts[1][0])
-    rmse0 = float(np.sqrt(((ps0 - np.array(run.gt_p)[1:]) ** 2).sum(1).mean()))
-    ens_healthy = np.isfinite(np.array(bstate.cov)).all() and rmse0 < 0.3
-    print(json.dumps({
-        "metric": "sim_vio_ensemble8_agg_frames_per_sec_1chip",
-        "value": round(agg_fps, 1) if ens_healthy else 0.0,
-        "unit": "frames/s",
-        "vs_baseline": round(agg_fps / 20.0, 2) if ens_healthy else 0.0,
-    }))
+        jax.block_until_ready(bstate.cov)  # compile + warmup
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            bstate, bouts = fil_ens(brun)
+        jax.block_until_ready(bstate.cov)
+        agg_fps = B * n_frames / ((time.time() - t0) / reps)
+        ps0 = np.array(bouts[1][0])
+        rmse0 = float(np.sqrt(
+            ((ps0 - np.array(run.gt_p)[1:]) ** 2).sum(1).mean()))
+        ens_healthy = (np.isfinite(np.array(bstate.cov)).all()
+                       and rmse0 < RMSE_GATE_M)
+        print(json.dumps({
+            "metric": "sim_vio_ensemble8_agg_frames_per_sec_1chip",
+            "value": round(agg_fps, 1) if ens_healthy else 0.0,
+            "unit": "frames/s",
+            "vs_baseline": round(agg_fps / 20.0, 2) if ens_healthy else 0.0,
+        }))
 
-    # --- metric 3 (headline, LAST line): closed-loop frames/s at full load
-    reps = 3
+    # --- headline, LAST line: closed-loop frames/s at full load
+    reps = 1 if args.quick else 3
     t0 = time.time()
     for _ in range(reps):
         state, outs = fil(run)
     jax.block_until_ready(state.cov)
     dt = (time.time() - t0) / reps
     fps = n_frames / dt
-
-    # sanity: the run must actually be a working filter
-    ps = np.array(outs[1])
-    gt_p = np.array(run.gt_p)[1:]
-    rmse = float(np.sqrt(((ps - gt_p) ** 2).sum(1).mean()))
-    healthy = np.isfinite(np.array(state.cov)).all() and rmse < 0.3
 
     print(json.dumps({
         "metric": "sim_vio_frames_per_sec_1chip",

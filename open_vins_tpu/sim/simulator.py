@@ -52,6 +52,10 @@ class SimParams(NamedTuple):
     cam_model: str = cameras.RADTAN
     duration: float = 60.0  # simulated seconds after start offset
     start_offset: float = 2.0  # skip the first spline seconds (edge effects)
+    distance_threshold: float = 0.0  # >0: additionally skip forward until
+    # the platform has MOVED this many meters of accumulated path — the
+    # reference's skip-until-motion start logic (Simulator.cpp:80-109,
+    # sim_distance_threshold); 0 keeps the fixed start_offset behavior
 
 
 class SimData(NamedTuple):
@@ -176,6 +180,21 @@ def build(
 
     gravity = jnp.asarray([0.0, 0.0, params.gravity_mag])
     t_start = spline.t0 + params.start_offset
+    if params.distance_threshold > 0.0:
+        # skip-until-motion (Simulator.cpp:80-109): advance the start in
+        # camera-period steps until the accumulated path length crosses the
+        # threshold.  Host-side scan over the spline (build() runs once).
+        cam_dt = 1.0 / params.cam_rate
+        t_max = spline.t0 + float(times[-1] - times[0]) - params.duration - 1.0
+        t = t_start
+        _, p_prev = bspline.pose(spline, jnp.asarray(t))
+        dist = 0.0
+        while dist <= params.distance_threshold and t < t_max:
+            t += cam_dt
+            _, p_now = bspline.pose(spline, jnp.asarray(t))
+            dist += float(jnp.linalg.norm(p_now - p_prev))
+            p_prev = p_now
+        t_start = t
 
     # --- persistent feature map: sample camera poses along the run, cast rays
     M = params.map_size

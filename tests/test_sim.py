@@ -209,3 +209,28 @@ class TestPerturbCalib:
         assert np.allclose(np.array(st.calib_intr), np.array(pert.cam_intr))
         assert np.allclose(np.array(st.calib_ext_p),
                            np.array(pert.cam_p_IinC))
+
+
+class TestSkipUntilMotion:
+    def test_start_advances_past_stationary_phase(self):
+        """distance_threshold > 0 must move the sim start past an initial
+        stationary stretch (Simulator.cpp:80-109 skip-until-motion)."""
+        import jax.numpy as jnp
+
+        dt = 0.1
+        n = 200
+        t = jnp.arange(n) * dt
+        # stationary for 8 s, then constant-velocity drive
+        moving = jnp.maximum(t - 8.0, 0.0)
+        p = jnp.stack([moving * 1.0, jnp.zeros_like(t), jnp.ones_like(t)],
+                      axis=-1)
+        R = jnp.tile(jnp.eye(3), (n, 1, 1))
+        params = simulator.SimParams(duration=5.0, map_size=64, num_pts=8,
+                                     start_offset=1.0,
+                                     distance_threshold=0.5)
+        sim = simulator.build(params, seed=0, traj=(t, R, p))
+        # 0.5 m at 1 m/s from t=8 → start must be past ~8.3 s
+        assert float(sim.t_start) > 8.0, f"t_start {float(sim.t_start)}"
+        params0 = params._replace(distance_threshold=0.0)
+        sim0 = simulator.build(params0, seed=0, traj=(t, R, p))
+        assert float(sim0.t_start) < 2.5  # fixed-offset behavior unchanged
