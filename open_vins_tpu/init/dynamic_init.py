@@ -106,19 +106,34 @@ def _preintegrate(imu_t, imu_w, imu_a, bg, ba):
     return R, alpha, beta
 
 
-def _preintegrate_cov(imu_t, imu_w, imu_a, bg, ba, sigma_w, sigma_a):
-    """9×9 covariance of the preintegrated measurement error [δθ, δβ, δα].
+def _preintegrate_cov(imu_t, imu_w, imu_a, bg, ba, sigma_w, sigma_a,
+                      sigma_wb=0.0, sigma_ab=0.0, full15=False):
+    """Covariance of the preintegrated measurement error.
 
-    The CpiBase P_meas role (ov_core/src/cpi/CpiBase.h:49-150): linearized
-    error propagation of the segment preintegration under gyro/accel noise,
-    matching `_preintegrate`'s recursion exactly.  With left error
-    R_true = exp(-δθ) R̂ (δθ in the running segment frame):
-        δθ'  = A δθ + A Jr(-ŵ dt) dt n_g,            A = exp(-ŵ dt)
-        δβ'  = δβ - dt R̂ᵀ⌊â⌋ δθ + dt R̂ᵀ n_a
-        δα'  = δα + dt δβ - ½dt² R̂ᵀ⌊â⌋ δθ + ½dt² R̂ᵀ n_a
-    Bias sensitivity is NOT folded in here — the MLE optimizes the biases
-    directly and autodiff supplies those Jacobians (the CPI bias-correction
-    terms); this covariance whitens the residuals at the linearization bias.
+    The CpiBase P_meas role (ov_core/src/cpi/CpiBase.h:49-150): the
+    reference propagates the FULL 15×15 [δθ δβ δα δbg δba] covariance,
+    including the bias random-walk rows, so that bias drift *within* the
+    segment inflates the preintegration uncertainty.  This matches that:
+    the 15-state linearized recursion (left error R_true = exp(-δθ) R̂,
+    δθ in the running segment frame) is
+        δθ'  = A δθ + Gg (δbg + n_g),                A = exp(-ŵ dt),
+                                                     Gg = A Jr(-ŵ dt) dt
+        δβ'  = δβ - dt R̂ᵀ⌊â⌋ δθ + dt R̂ᵀ (δba + n_a)
+        δα'  = δα + dt δβ - ½dt² R̂ᵀ⌊â⌋ δθ + ½dt² R̂ᵀ (δba + n_a)
+        δbg' = δbg + √dt n_wg
+        δba' = δba + √dt n_wa
+    (ŵ = w_meas − b̂g so a bias error enters exactly like gyro noise).
+    Returns the marginal top-left 9×9 [δθ δβ δα] block by default — that is
+    what whitens the MLE residuals (the biases start the segment at their
+    estimated value, so the initial bias-error blocks are zero and only the
+    in-segment walk contributes) — or the full 15×15 when ``full15``.
+
+    Note on CpiV1 vs CpiV2 (ov_core/src/cpi/CpiV1.h / CpiV2.h): the two
+    reference variants differ only in the *analytic bias-Jacobian
+    approximation* used to correct the preintegrated means when the bias
+    estimate moves.  Here `_preintegrate` is differentiable and the MLE
+    gets exact autodiff bias Jacobians, so there is nothing to approximate
+    — one implementation dominates both variants.
     """
     K = imu_t.shape[0]
     dtype = imu_a.dtype
@@ -133,29 +148,36 @@ def _preintegrate_cov(imu_t, imu_w, imu_a, bg, ba, sigma_w, sigma_a):
         A = lie.exp_so3(-w_hat * dt)
         Rt = R.T
         Ra = Rt @ lie.skew(a_hat)
-        F = jnp.block([
-            [A, Z, Z],
-            [-dt * Ra, I3, Z],
-            [-0.5 * dt * dt * Ra, dt * I3, I3],
-        ])
         Gg = (A @ lie.Jr_so3(-w_hat * dt)) * dt
+        F = jnp.block([
+            [A, Z, Z, Gg, Z],
+            [-dt * Ra, I3, Z, Z, dt * Rt],
+            [-0.5 * dt * dt * Ra, dt * I3, I3, Z, 0.5 * dt * dt * Rt],
+            [Z, Z, Z, I3, Z],
+            [Z, Z, Z, Z, I3],
+        ])
         G = jnp.block([
-            [Gg, Z],
-            [Z, dt * Rt],
-            [Z, 0.5 * dt * dt * Rt],
+            [Gg, Z, Z, Z],
+            [Z, dt * Rt, Z, Z],
+            [Z, 0.5 * dt * dt * Rt, Z, Z],
+            [Z, Z, I3, Z],
+            [Z, Z, Z, I3],
         ])
         inv_dt = jnp.where(dt > 0, 1.0 / jnp.maximum(dt, 1e-12), 0.0)
         qc = jnp.concatenate([
-            jnp.full((3,), sigma_w**2, dtype),
-            jnp.full((3,), sigma_a**2, dtype),
-        ]) * inv_dt
+            jnp.full((3,), sigma_w**2, dtype) * inv_dt,
+            jnp.full((3,), sigma_a**2, dtype) * inv_dt,
+            # random-walk increments over dt: Var = σ_b² dt
+            jnp.full((3,), sigma_wb**2, dtype) * dt,
+            jnp.full((3,), sigma_ab**2, dtype) * dt,
+        ])
         P = F @ P @ F.T + (G * qc[None, :]) @ G.T
         R = A @ R
         return (R, 0.5 * (P + P.T)), None
 
-    (_, P), _ = jax.lax.scan(body, (I3, jnp.zeros((9, 9), dtype)),
+    (_, P), _ = jax.lax.scan(body, (I3, jnp.zeros((15, 15), dtype)),
                              jnp.arange(K - 1))
-    return P
+    return P if full15 else P[:9, :9]
 
 
 def _preintegrate_all(inp: DynInitInput, bg, ba):
@@ -386,13 +408,16 @@ def initialize(inp: DynInitInput, opts: DynamicInitOptions) -> DynInitResult:
         + alpha_0k
     v_k0 = v0[None, :] - g_I0[None, :] * dt_k[:, None] + beta_0k
 
-    # 4. MLE refinement — residuals whitened by the CPI-propagated 9×9
-    # preintegration measurement covariance per segment (computed once at
-    # the zero-bias linearization, like the reference's fixed CPI factor
-    # covariances; a jitter floor keeps the Cholesky well-posed in f32)
+    # 4. MLE refinement — residuals whitened by the CPI-propagated
+    # preintegration measurement covariance per segment: the [δθ δβ δα]
+    # marginal of the reference's full 15×15 propagation (bias random-walk
+    # rows included, CpiBase.h:49-150), computed once at the zero-bias
+    # linearization like the reference's fixed CPI factor covariances; a
+    # jitter floor keeps the Cholesky well-posed in f32.
     P9 = jax.vmap(
         lambda t, w, a: _preintegrate_cov(t, w, a, zero3, zero3,
-                                          opts.sigma_w, opts.sigma_a)
+                                          opts.sigma_w, opts.sigma_a,
+                                          opts.sigma_wb, opts.sigma_ab)
     )(inp.imu_t, inp.imu_w, inp.imu_a)
     P9 = P9 + 1e-12 * jnp.eye(9, dtype=dtype)
     L9 = jax.lax.stop_gradient(jnp.linalg.cholesky(P9))

@@ -177,3 +177,93 @@ class TestDynamicInit:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+class TestPreintCov15:
+    """MC validation of the 15-state CPI measurement covariance
+    (CpiBase.h:49-150 parity: bias random-walk rows propagate and inflate
+    the [δθ δβ δα] marginal used to whiten the MLE residuals)."""
+
+    @pytest.fixture(autouse=True, scope="class")
+    def _x64(self):
+        old = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        yield
+        jax.config.update("jax_enable_x64", old)
+
+    def _segment(self, K=40, rate=200.0):
+        t = jnp.arange(K, dtype=jnp.float64) / rate
+        w = jnp.stack([0.4 * jnp.sin(3 * t), 0.3 * jnp.cos(2 * t),
+                       0.2 * jnp.ones_like(t)], axis=-1)
+        a = jnp.stack([0.5 * jnp.cos(t), 9.81 + 0.3 * jnp.sin(2 * t),
+                       0.4 * t], axis=-1)
+        return t, w, a
+
+    def test_bias_walk_blocks_and_inflation(self):
+        t, w, a = self._segment()
+        z = jnp.zeros(3, jnp.float64)
+        sw, sa, swb, sab = 1.7e-4, 2e-3, 0.05, 0.5
+        P15 = dynamic_init._preintegrate_cov(t, w, a, z, z, sw, sa,
+                                             swb, sab, full15=True)
+        T = float(t[-1] - t[0])
+        # bias rows are a pure random walk: Var = σ_b² ΔT, no cross terms
+        np.testing.assert_allclose(np.array(P15[9:12, 9:12]),
+                                   swb**2 * T * np.eye(3), rtol=1e-6)
+        np.testing.assert_allclose(np.array(P15[12:15, 12:15]),
+                                   sab**2 * T * np.eye(3), rtol=1e-6)
+        # the walk must inflate the measurement marginal beyond white noise
+        P9_white = dynamic_init._preintegrate_cov(t, w, a, z, z, sw, sa)
+        P9_walk = P15[:9, :9]
+        d = np.diag(np.array(P9_walk - P9_white))
+        assert (d >= -1e-18).all()
+        assert d[3:].sum() > 0.2 * np.diag(np.array(P9_white))[3:].sum(), (
+            "bias walk at this magnitude should visibly inflate β/α")
+
+    def test_monte_carlo_marginal(self):
+        """Empirical cov of preintegration error under white noise + bias
+        walk matches the propagated [δθ δβ δα] marginal (NEES ≈ 9)."""
+        t, w_true, a_true = self._segment()
+        K = t.shape[0]
+        dt = float(t[1] - t[0])
+        z = jnp.zeros(3, jnp.float64)
+        sw, sa, swb, sab = 2e-3, 2e-2, 0.02, 0.2
+        P9 = np.array(dynamic_init._preintegrate_cov(
+            t, w_true, a_true, z, z, sw, sa, swb, sab))
+
+        R_c, al_c, be_c = dynamic_init._preintegrate(t, w_true, a_true, z, z)
+        R_c, al_c, be_c = np.array(R_c), np.array(al_c), np.array(be_c)
+
+        pre = jax.jit(jax.vmap(
+            lambda wn, an: dynamic_init._preintegrate(t, wn, an, z, z)))
+        rng = np.random.default_rng(3)
+        N = 500
+        ng = rng.normal(size=(N, K, 3)) * (sw / np.sqrt(dt))
+        na = rng.normal(size=(N, K, 3)) * (sa / np.sqrt(dt))
+        bg = np.cumsum(
+            np.concatenate([np.zeros((N, 1, 3)),
+                            rng.normal(size=(N, K - 1, 3)) * (swb * np.sqrt(dt))],
+                           axis=1), axis=1)
+        ba = np.cumsum(
+            np.concatenate([np.zeros((N, 1, 3)),
+                            rng.normal(size=(N, K - 1, 3)) * (sab * np.sqrt(dt))],
+                           axis=1), axis=1)
+        R_n, al_n, be_n = pre(jnp.asarray(w_true + ng + bg),
+                              jnp.asarray(a_true + na + ba))
+        R_n, al_n, be_n = np.array(R_n), np.array(al_n), np.array(be_n)
+
+        errs = np.zeros((N, 9))
+        for i in range(N):
+            errs[i, :3] = -np.array(lie.log_so3(jnp.asarray(R_n[i] @ R_c.T)))
+            errs[i, 3:6] = be_n[i] - be_c
+            errs[i, 6:9] = al_n[i] - al_c
+        nees = np.einsum("ni,ij,nj->n", errs,
+                         np.linalg.inv(P9 + 1e-18 * np.eye(9)), errs)
+        m = float(nees.mean())
+        # dof 9; 500 samples → tight-ish band.  Catches wrong signs on the
+        # bias columns (cross terms flip → NEES far from dof).
+        assert 7.0 < m < 11.5, f"preint MC NEES {m:.2f} (dof 9)"
+        # per-block variance ratio sanity
+        emp = errs.T @ errs / N
+        for blk in (slice(0, 3), slice(3, 6), slice(6, 9)):
+            r = np.trace(emp[blk, blk]) / np.trace(P9[blk, blk])
+            assert 0.75 < r < 1.3, f"block {blk} variance ratio {r:.2f}"
