@@ -302,6 +302,84 @@ def kalman_update_math_info(cov, H, res, ranges, return_gamma=False):
     return dx, new_cov
 
 
+def newton_inverse(A, iters=22, refine=0):
+    """A⁻¹ by Hotelling–Bodewig (Newton) iteration — matmuls only.
+
+    X_{j+1} = X_j (2I − A X_j) with X_0 = I/‖A‖_F.  The residual operator
+    squares each step: I − X_{j+1}A = (I − X_j A)², so from the scalar
+    start every eigenvalue λ of A contracts once |1 − λ/σ| < 1 — guaranteed
+    here because σ = ‖A‖_F ≥ λmax and the intended A (= I + G·P, a product
+    of PSDs plus I) has real spectrum in [1, λmax].  Convergence to f32
+    resolution needs 2^iters ≳ 16·σ, i.e. iters = 22 covers σ ≤ 2.6e5.
+
+    Why this exists: on TPU every factorization (getrf/potrf/trsm) is a
+    blocked custom call whose panel recursion serializes — and under vmap
+    the BATCH serializes too (measured: the k=231 Cholesky/TRSM stack cost
+    ~8× at B=8, erasing the ensemble axis).  Newton inversion is ~2·iters
+    batched [B,k,k] matmuls: pure MXU work that scales with batch at
+    near-zero marginal cost, needs no pivoting, and is self-correcting
+    (errors contract quadratically) so f32 accuracy matches the LU solve.
+    """
+    k = A.shape[-1]
+    eye = jnp.eye(k, dtype=A.dtype)
+    sigma = jnp.sqrt(jnp.sum(A * A)) + jnp.asarray(1e-30, A.dtype)
+    X = eye / sigma
+    for _ in range(iters):
+        X = X @ (2.0 * eye - A @ X)
+    for _ in range(refine):
+        X = X + X @ (eye - A @ X)
+    return X
+
+
+def kalman_update_math_newton(cov, H, res, ranges, iters=22,
+                              return_gamma=False):
+    """Push-through (Woodbury) update with the k×k inverse from
+    `newton_inverse` — the CUSTOM-CALL-FREE joint vision update.
+
+    Identical algebra to `kalman_update_math_info` (exact information form,
+    no jitter anywhere: A = I + G·P_ss has eigenvalues ≥ 1), with the
+    pivoted LU replaced by batched-matmul Newton inversion, so the whole
+    update is MXU work that vmaps efficiently across ensemble streams.
+    One extra iterative-refinement step on the applied solve
+    (W ← W + X(B − A W)) polishes the directions the update actually uses.
+    H must be row-whitened; zero rows are exact no-ops.
+    """
+    from open_vins_tpu.models.update_helper import take_cols
+    from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
+
+    D = cov.shape[0]
+    H_s = take_cols(H, ranges)            # [m, k]
+    P_cols = take_cols(cov, ranges)       # [D, k]
+    P_ss = take_cols(P_cols.T, ranges).T  # [k, k]
+    G = H_s.T @ H_s
+    g = H_s.T @ res
+    A = jnp.eye(G.shape[0], dtype=cov.dtype) + G @ P_ss
+    X = newton_inverse(A, iters=iters)
+    B = jnp.concatenate([G @ P_cols.T, g[:, None]], axis=1)  # [k, D+1]
+    XB = X @ B
+    XB = XB + X @ (B - A @ XB)            # one refinement sweep
+    # NaN-kill convention: a non-finite solve must degrade to a no-op
+    # update, never escape into the state/covariance.
+    ok = jnp.all(jnp.isfinite(XB))
+    XB = jnp.where(ok, XB, 0.0)
+    W, y = XB[:, :D], XB[:, D]
+    dx = P_cols @ y
+    new_cov = symmetric_downdate(cov, P_cols, W.T)
+    if return_gamma:
+        gamma = res @ res - g @ (P_ss @ (X @ g))
+        return dx, new_cov, gamma
+    return dx, new_cov
+
+
+def ekf_update_newton(state: VioState, cfg: FilterConfig, H, res,
+                      ranges) -> VioState:
+    """`ekf_update` via the Newton push-through form (see
+    kalman_update_math_newton); H row-whitened, zero rows exact no-ops."""
+    dx, cov = kalman_update_math_newton(state.cov, H, res, ranges)
+    new_state = boxplus(state, cfg, dx)
+    return new_state._replace(cov=cov)
+
+
 def kalman_update_math_spd(cov, H, res, ranges):
     """Push-through update via SYMMETRIC factorizations — the minimum-
     custom-call form of the joint vision update on TPU.

@@ -60,44 +60,74 @@ def ingest_frame(
     observation, unseen ids allocate a free row.  Cameras are ingested
     sequentially (static python loop over num_cams) so a stereo feature seen
     by both eyes allocates exactly one row.
+
+    TPU note: everything is written through ONE-HOT CONTRACTIONS + full-
+    array selects — no scatters, no dynamic-update-slices.  The previous
+    `.at[row, head_slot, cam].set(...)` scatters and the per-frame mask DUS
+    compiled into layout-hostile ops that dominated the ensemble profile
+    (a pred[B,T,C,1] dynamic-update-slice alone cost 283 µs/frame at B=8 —
+    7.7% of the whole device program); the one-hot form is a [T,P] matmul
+    plus elementwise selects, which XLA fuses and vmaps at ~zero marginal
+    cost.  Per-frame ids are assumed unique per camera (the trackers and
+    the simulator guarantee it); duplicate ids would average instead of
+    last-write-win.
     """
     T = table.ids.shape[0]
-    table = table._replace(seen=jnp.zeros((T,), dtype=bool))
+    C = table.uv.shape[1]
+    slot_onehot = jnp.arange(C, dtype=jnp.int32) == head_slot  # [C]
+    seen = jnp.zeros((T,), dtype=bool)
+    new_ids, new_uv, new_uvn, new_mask = (table.ids, table.uv, table.uvn,
+                                          table.mask)
 
     for cam in range(cfg.num_cams):
         cam_ids = ids[cam]  # [P]
         cam_mask = meas_mask[cam] & (cam_ids >= 0)
 
         # match incoming ids against table rows: [T, P]
-        eq = table.ids[:, None] == cam_ids[None, :]
-        matched_row = jnp.argmax(eq, axis=0)  # [P] (0 if no match)
+        eq = (new_ids[:, None] == cam_ids[None, :]) & cam_mask[None, :]
         has_match = jnp.any(eq, axis=0)
 
-        # allocate free rows for new ids
+        # allocate free rows for new ids (rank-order into the free list)
         is_new = cam_mask & (~has_match)
-        free = table.ids < 0
-        sorted_free = jnp.sort(jnp.where(free, jnp.arange(T), T))  # free rows first
+        free = new_ids < 0
+        sorted_free = jnp.sort(jnp.where(free, jnp.arange(T), T))
         new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
         alloc_row = sorted_free[jnp.clip(new_rank, 0, T - 1)]  # [P]
+        # drop when full: ranks beyond the free list hit sorted_free's T
+        # sentinel; ranks beyond T-1 must ALSO drop (not clip-collide on
+        # the last free row — the one-hot sum would corrupt that row)
+        alloc_ok = is_new & (new_rank < T) & (alloc_row < T)
+        alloc_hit = (jnp.arange(T, dtype=jnp.int32)[:, None]
+                     == alloc_row[None, :]) & alloc_ok[None, :]  # [T, P]
 
-        row = jnp.where(has_match, matched_row, alloc_row)
-        # drop measurements that cannot be placed (table full)
-        row = jnp.where(cam_mask & (row < T), row, T)  # T = out-of-bounds drop
+        W = eq | alloc_hit                      # [T, P] row t ← measurement p
+        Wf = W.astype(table.uv.dtype)
+        row_any = jnp.any(W, axis=1)            # [T]
+        uv_t = Wf @ uv[cam]                     # [T, 2] (unique-id exact)
+        uvn_t = Wf @ uvn[cam]
+        id_t = jnp.max(jnp.where(W, cam_ids[None, :], -1), axis=1)  # [T]
 
-        table = table._replace(
-            ids=table.ids.at[row].set(cam_ids, mode="drop"),
-            uv=table.uv.at[row, head_slot, cam].set(uv[cam], mode="drop"),
-            uvn=table.uvn.at[row, head_slot, cam].set(uvn[cam], mode="drop"),
-            mask=table.mask.at[row, head_slot, cam].set(True, mode="drop"),
-            seen=table.seen.at[row].set(True, mode="drop"),
-        )
-    return table
+        sel = row_any[:, None] & slot_onehot[None, :]  # [T, C]
+        new_uv = new_uv.at[:, :, cam, :].set(           # static cam index
+            jnp.where(sel[..., None], uv_t[:, None, :], new_uv[:, :, cam, :]))
+        new_uvn = new_uvn.at[:, :, cam, :].set(
+            jnp.where(sel[..., None], uvn_t[:, None, :], new_uvn[:, :, cam, :]))
+        new_mask = new_mask.at[:, :, cam].set(new_mask[:, :, cam] | sel)
+        row_alloc = jnp.any(alloc_hit, axis=1)
+        new_ids = jnp.where(row_alloc, id_t, new_ids)
+        seen = seen | row_any
+
+    return table._replace(ids=new_ids, uv=new_uv, uvn=new_uvn,
+                          mask=new_mask, seen=seen)
 
 
 def clear_clone_column(table: FeatureTable, slot) -> FeatureTable:
     """Invalidate all observations taken at a marginalized clone slot
-    (FeatureDatabase::cleanup_measurements parity)."""
-    return table._replace(mask=table.mask.at[:, slot, :].set(False))
+    (FeatureDatabase::cleanup_measurements parity).  One-hot select, not a
+    DUS — see ingest_frame's TPU note."""
+    C = table.mask.shape[1]
+    keep = (jnp.arange(C, dtype=jnp.int32) != slot)[None, :, None]
+    return table._replace(mask=table.mask & keep)
 
 
 def row_obs_counts(table: FeatureTable):

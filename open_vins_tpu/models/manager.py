@@ -329,6 +329,11 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
             # two SPD Choleskys + one triangular solve (no compression
             # stage, no LU) — see core/ekf.kalman_update_math_spd
             state = ekf.ekf_update_spd(state, cfg, H, res, ranges)
+        elif cfg.joint_update_form == "newton":
+            # push-through with batched-matmul Newton inversion — zero
+            # factorization custom calls, scales across vmapped ensemble
+            # streams — see core/ekf.kalman_update_math_newton
+            state = ekf.ekf_update_newton(state, cfg, H, res, ranges)
         else:
             D = cfg.state_dim
             H, res = uh.compress_system_ranges(H, res, ranges, D)

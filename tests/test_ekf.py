@@ -174,6 +174,92 @@ class TestUpdate:
         np.testing.assert_allclose(np.array(cov_s), np.array(cov_q),
                                    atol=1e-4, rtol=5e-3)
 
+    def test_newton_form_matches_standard(self):
+        """Newton push-through (batched-matmul inverse) == compress-then-
+        solve, on well-conditioned, PSD-singular, and f32-residue support
+        covariances.  The newton form is exact information-form algebra
+        (no jitter), so it must match within f32 solve tolerance."""
+        from open_vins_tpu.models import update_helper as uh
+
+        D = CFG.state_dim
+        ranges = CFG.cam_meas_support_ranges
+        k = sum(b - a for a, b in ranges)
+        rng = np.random.default_rng(41)
+
+        def sys(m, dead=None):
+            H = np.zeros((m, D))
+            for a, b in ranges:
+                H[:, a:b] = rng.normal(size=(m, b - a)) * 0.5
+            if dead is not None:
+                H[:, dead] = 0.0
+            res = rng.normal(size=(m,)) * 0.05
+            return jnp.asarray(H, jnp.float32), jnp.asarray(res, jnp.float32)
+
+        # scenario 1: healthy covariance
+        st = make_state(seed=41)
+        H, res = sys(4 * k)
+        dx_n, cov_n = ekf.kalman_update_math_newton(st.cov, H, res, ranges)
+        H_c, res_c = uh.compress_system_ranges(H, res, ranges, D)
+        dx_q, cov_q = ekf.kalman_update_math(
+            st.cov, H_c, res_c, jnp.ones(H_c.shape[0]), ranges=ranges)
+        np.testing.assert_allclose(np.array(dx_n), np.array(dx_q),
+                                   atol=2e-5, rtol=1e-3)
+        np.testing.assert_allclose(np.array(cov_n), np.array(cov_q),
+                                   atol=2e-5, rtol=1e-3)
+
+        # scenario 2: PSD-singular support (dead dims exact zero)
+        st = make_state(seed=42)
+        mask = np.ones(D, dtype=bool)
+        a0, b0 = ranges[0]
+        dead = np.arange(a0 + (b0 - a0) // 2, b0)
+        mask[dead] = False
+        P = np.array(st.cov) * np.outer(mask, mask)
+        st = st._replace(cov=jnp.asarray(P, jnp.float32))
+        H, res = sys(4 * k, dead)
+        dx_n, cov_n = ekf.kalman_update_math_newton(st.cov, H, res, ranges)
+        assert np.all(np.isfinite(np.array(dx_n)))
+        assert np.all(np.isfinite(np.array(cov_n)))
+        H_c, res_c = uh.compress_system_ranges(H, res, ranges, D)
+        dx_q, cov_q = ekf.kalman_update_math(
+            st.cov, H_c, res_c, jnp.ones(H_c.shape[0]), ranges=ranges)
+        np.testing.assert_allclose(np.array(dx_n), np.array(dx_q),
+                                   atol=1e-4, rtol=5e-3)
+        np.testing.assert_allclose(np.array(cov_n), np.array(cov_q),
+                                   atol=1e-4, rtol=5e-3)
+        assert np.abs(np.array(cov_n)[dead]).max() < 1e-6
+
+        # scenario 3: the round-2 f32 residue pattern (tiny / slightly
+        # negative diagonals + off-diagonal leftovers on dead dims)
+        st = make_state(seed=43)
+        P = np.array(st.cov) * np.outer(mask, mask)
+        P[dead, dead] = rng.uniform(-1e-12, 1e-12, size=dead.size)
+        for i in dead[::2]:
+            j = (i - a0 + 3) % (b0 - a0) + a0
+            P[i, j] = P[j, i] = 1e-9 * rng.normal()
+        st = st._replace(cov=jnp.asarray(P, jnp.float32))
+        H, res = sys(4 * k, dead)
+        dx_n, cov_n = ekf.kalman_update_math_newton(st.cov, H, res, ranges)
+        assert np.all(np.isfinite(np.array(dx_n)))
+        assert np.all(np.isfinite(np.array(cov_n)))
+
+    def test_newton_inverse_conditioning(self):
+        """newton_inverse at the spectra the joint update actually sees:
+        lambda in [1, lmax] for lmax up to 1e4, k=231 — residual must reach
+        f32 solve quality."""
+        rng = np.random.default_rng(7)
+        k = 231
+        for lmax in (10.0, 1e3, 1e4):
+            Q, _ = np.linalg.qr(rng.normal(size=(k, k)))
+            lam = np.concatenate([[1.0, lmax],
+                                  np.exp(rng.uniform(0, np.log(lmax),
+                                                     size=k - 2))])
+            Ppsd = (Q * lam) @ Q.T  # SPD with spectrum [1, lmax]
+            A = jnp.asarray(Ppsd, jnp.float32)
+            X = np.array(ekf.newton_inverse(A))
+            resid = np.abs(X @ Ppsd - np.eye(k)).max()
+            assert resid < 1e-2 * lmax * 1e-4 + 1e-3, (
+                f"lmax={lmax}: residual {resid:.2e}")
+
     def test_spd_form_singular_support_cov(self):
         """The spd form must survive a PSD-singular P_ss (inactive slots
         carry exact zero covariance rows): the ε-regularized covariance-side

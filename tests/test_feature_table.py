@@ -1,0 +1,119 @@
+"""FeatureTable unit tests: the one-hot (scatter-free) ingest/clear must
+realize FeatureDatabase::update_feature semantics (FeatureDatabase.h:100-133)
+exactly — pinned against a plain-numpy oracle over randomized streams
+covering matches, new-row allocation, masked measurements, table-full
+drops, stereo two-eye dedup, and clone-column invalidation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_vins_tpu.core.layout import FilterConfig
+from open_vins_tpu.models import feature_table as ft
+
+
+def oracle_ingest(tab, head_slot, ids, uv, uvn, mask, num_cams):
+    """Reference semantics in numpy: sequential per-camera, match-by-id,
+    rank-ordered free-row allocation, drop when full."""
+    ids_t, uv_t, uvn_t, mask_t = (tab["ids"].copy(), tab["uv"].copy(),
+                                  tab["uvn"].copy(), tab["mask"].copy())
+    T = ids_t.shape[0]
+    seen = np.zeros(T, bool)
+    for cam in range(num_cams):
+        cam_ids, cam_ok = ids[cam], mask[cam] & (ids[cam] >= 0)
+        free = [t for t in range(T) if ids_t[t] < 0]
+        nxt = 0
+        for p in range(cam_ids.shape[0]):
+            if not cam_ok[p]:
+                continue
+            rows = np.where(ids_t == cam_ids[p])[0]
+            if rows.size:
+                r = rows[0]
+            else:
+                if nxt >= len(free):
+                    continue  # table full -> drop
+                r = free[nxt]
+                nxt += 1
+            ids_t[r] = cam_ids[p]
+            uv_t[r, head_slot, cam] = uv[cam][p]
+            uvn_t[r, head_slot, cam] = uvn[cam][p]
+            mask_t[r, head_slot, cam] = True
+            seen[r] = True
+    return dict(ids=ids_t, uv=uv_t, uvn=uvn_t, mask=mask_t, seen=seen)
+
+
+def to_np(t):
+    return dict(ids=np.array(t.ids), uv=np.array(t.uv), uvn=np.array(t.uvn),
+                mask=np.array(t.mask), seen=np.array(t.seen))
+
+
+@pytest.mark.parametrize("num_cams,T,P", [(1, 24, 10), (2, 16, 8)])
+def test_ingest_matches_oracle(num_cams, T, P):
+    cfg = FilterConfig(max_clones=5, max_slam=0, num_cams=num_cams)
+    rng = np.random.default_rng(3)
+    tab = ft.init_table(cfg, T)
+    id_pool = rng.permutation(200)
+    cursor = 0
+    for frame in range(8):
+        head = frame % cfg.max_clones
+        # mix of repeated ids (tracks) and fresh ids, some masked out
+        n_old = min(frame * 2, P - 2)
+        old = id_pool[max(0, cursor - n_old):cursor]
+        fresh = id_pool[cursor:cursor + (P - old.size)]
+        cursor += fresh.size
+        ids_frame = np.concatenate([old, fresh])[:P].astype(np.int32)
+        ids = np.stack([rng.permutation(ids_frame) for _ in range(num_cams)])
+        # stereo: both eyes share ids (the dedup case)
+        uv = rng.normal(size=(num_cams, P, 2)).astype(np.float32)
+        uvn = uv * 0.01
+        mask = rng.uniform(size=(num_cams, P)) > 0.2
+        ids = np.where(rng.uniform(size=ids.shape) > 0.9, -1, ids)
+
+        want = oracle_ingest(to_np(tab), head, ids, uv, uvn, mask, num_cams)
+        tab = ft.ingest_frame(tab, cfg, jnp.asarray(head), jnp.asarray(ids),
+                              jnp.asarray(uv), jnp.asarray(uvn),
+                              jnp.asarray(mask))
+        got = to_np(tab)
+        # row ASSIGNMENT may differ between implementations only in which
+        # free row a new id lands in — the rank-ordered allocation makes it
+        # deterministic and identical, so compare arrays directly.
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=f"{k} "
+                                          f"mismatch at frame {frame}")
+        if frame == 3:  # interleave a marginalization
+            slot = (head + 1) % cfg.max_clones
+            tab = ft.clear_clone_column(tab, jnp.asarray(slot))
+            w = to_np(tab)["mask"]
+            assert not w[:, slot].any()
+            want["mask"][:, slot] = False
+            np.testing.assert_array_equal(w, want["mask"])
+            tabnp = to_np(tab)
+            for k in want:
+                if k != "mask":
+                    np.testing.assert_array_equal(tabnp[k], want[k])
+
+
+def test_table_full_drops():
+    cfg = FilterConfig(max_clones=3, max_slam=0, num_cams=1)
+    T, P = 6, 10
+    tab = ft.init_table(cfg, T)
+    ids = np.arange(P, dtype=np.int32)[None]
+    uv = np.ones((1, P, 2), np.float32)
+    mask = np.ones((1, P), bool)
+    tab = ft.ingest_frame(tab, cfg, jnp.asarray(0), jnp.asarray(ids),
+                          jnp.asarray(uv), jnp.asarray(uv * 0.01),
+                          jnp.asarray(mask))
+    got = to_np(tab)
+    assert (got["ids"] >= 0).sum() == T  # first T placed, rest dropped
+    assert set(got["ids"]) == set(range(T))
+    # re-ingesting the SAME ids must not reallocate
+    tab2 = ft.ingest_frame(tab, cfg, jnp.asarray(1), jnp.asarray(ids),
+                           jnp.asarray(uv), jnp.asarray(uv * 0.01),
+                           jnp.asarray(mask))
+    got2 = to_np(tab2)
+    np.testing.assert_array_equal(got2["ids"], got["ids"])
+    assert got2["mask"][:, 1, 0].sum() == T
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])

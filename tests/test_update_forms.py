@@ -21,7 +21,7 @@ from open_vins_tpu.models import runner
 from open_vins_tpu.models import triangulation as tri
 from open_vins_tpu.sim import simulator
 
-FORMS = ["qr", "woodbury", "spd"]
+FORMS = ["qr", "woodbury", "spd", "newton"]
 ALL_REPS = [lrep.GLOBAL_3D, lrep.GLOBAL_FULL_INVERSE_DEPTH, lrep.ANCHORED_3D,
             lrep.ANCHORED_FULL_INVERSE_DEPTH,
             lrep.ANCHORED_MSCKF_INVERSE_DEPTH,
@@ -68,11 +68,15 @@ class TestFormsOnRound2FailureRep:
 
     def test_forms_agree(self):
         """All joint forms realize the same update: trajectories must agree
-        to f32 noise + the spd form's designed 3e-5 gain jitter."""
+        to f32 noise + the spd form's designed 3e-5 gain jitter (newton is
+        jitter-free exact algebra, so it must sit at least as close)."""
         _, _, ps_qr = _closed_loop(self.REP, "qr")
         _, _, ps_spd = _closed_loop(self.REP, "spd")
         div = float(np.abs(ps_qr - ps_spd).max())
         assert div < 5e-3, f"qr-vs-spd trajectory divergence {div:.4f} m"
+        _, _, ps_new = _closed_loop(self.REP, "newton")
+        div_n = float(np.abs(ps_qr - ps_new).max())
+        assert div_n < 5e-3, f"qr-vs-newton trajectory divergence {div_n:.4f} m"
 
 
 @pytest.mark.slow
