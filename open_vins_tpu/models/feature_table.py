@@ -9,10 +9,19 @@ and the time-indexed triage queries that drive update scheduling
 full-window tracks, cleanup after updates).
 
 TPU-first redesign: the mutex-guarded unordered_map becomes a [T]-row table
-with an id column and a [T, C, N] observation mask indexed by *clone ring
-slot* — marginalizing a clone clears one mask column; "lost" and
-"full-window" queries are mask reductions; id matching is one [T, P]
-equality matmul-shaped op per camera.
+with an id column and a BITPACKED observation mask — `mbits` [T, N] int32,
+bit c of word (t, n) = "row t has a valid observation at clone slot c from
+camera n".  Marginalizing a clone is one AND-mask; "lost" / "full-window"
+queries are popcounts; id matching is one [T, P] equality op per camera.
+
+Why bits instead of a bool [T, C, N] array: on TPU a pred array with tiny
+minor dims (C=11, N=1) tiles at ~2% lane occupancy — every reduce/update
+dragged full-array layout copies with it (two mask reduce fusions alone
+cost 28 µs/frame single-stream, 214 µs/frame at ensemble B=8 in the
+profile).  The packed [T, N] int32 form puts the big dim on lanes; every
+query is a handful of elementwise integer ops.  All writes are one-hot
+selects / OR-masks — no scatters, no dynamic-update-slices (see
+ingest_frame).  Requires max_clones <= 32 (reference default is 11).
 """
 
 from __future__ import annotations
@@ -29,19 +38,50 @@ class FeatureTable(NamedTuple):
     ids: jax.Array  # [T] int32, -1 = free row
     uv: jax.Array  # [T, C, N, 2] raw pixel obs by clone slot / camera
     uvn: jax.Array  # [T, C, N, 2] normalized obs
-    mask: jax.Array  # [T, C, N] obs validity
+    mbits: jax.Array  # [T, N] int32 — bit c set = valid obs at clone slot c
     seen: jax.Array  # [T] bool — observed in the current frame (transient)
+
+
+def popcount32(x):
+    """Per-element population count of an int32 array (SWAR)."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
 
 
 def init_table(cfg: FilterConfig, max_tracks: int) -> FeatureTable:
     C, N = cfg.max_clones, cfg.num_cams
+    assert C <= 32, "bitpacked mask holds one clone bit per int32 word"
     return FeatureTable(
         ids=jnp.full((max_tracks,), -1, dtype=jnp.int32),
         uv=jnp.zeros((max_tracks, C, N, 2), dtype=jnp.float32),
         uvn=jnp.zeros((max_tracks, C, N, 2), dtype=jnp.float32),
-        mask=jnp.zeros((max_tracks, C, N), dtype=bool),
+        mbits=jnp.zeros((max_tracks, N), dtype=jnp.int32),
         seen=jnp.zeros((max_tracks,), dtype=bool),
     )
+
+
+def mask_bool(table: FeatureTable) -> jax.Array:
+    """Unpack mbits to the logical [T, C, N] bool mask (tests/debug and the
+    few consumers that want the dense form)."""
+    T, N = table.mbits.shape
+    C = table.uv.shape[1]
+    c = jnp.arange(C, dtype=jnp.int32)[None, :, None]  # [1, C, 1]
+    return ((table.mbits[:, None, :] >> c) & 1) > 0
+
+
+def obs_bit(table: FeatureTable, rows, slot, cam):
+    """Valid-observation bits for table rows at (slot, cam) — all of
+    `rows`, `slot`, `cam` may be traced arrays (broadcast together).
+    Replaces `table.mask[rows, slot, cam]` gathers with a row gather plus
+    elementwise shifts."""
+    T, N = table.mbits.shape
+    rr = jnp.clip(rows, 0, T - 1)
+    bits_r = table.mbits[rr]  # [..., N]
+    cam_oh = jnp.arange(N, dtype=jnp.int32) == cam[..., None]
+    word = jnp.sum(jnp.where(cam_oh, bits_r, 0), axis=-1)
+    return ((word >> slot) & 1) > 0
 
 
 def ingest_frame(
@@ -75,9 +115,11 @@ def ingest_frame(
     T = table.ids.shape[0]
     C = table.uv.shape[1]
     slot_onehot = jnp.arange(C, dtype=jnp.int32) == head_slot  # [C]
+    head_bit = jnp.left_shift(jnp.asarray(1, jnp.int32),
+                              head_slot.astype(jnp.int32))
     seen = jnp.zeros((T,), dtype=bool)
-    new_ids, new_uv, new_uvn, new_mask = (table.ids, table.uv, table.uvn,
-                                          table.mask)
+    new_ids, new_uv, new_uvn, new_bits = (table.ids, table.uv, table.uvn,
+                                          table.mbits)
 
     for cam in range(cfg.num_cams):
         cam_ids = ids[cam]  # [P]
@@ -112,27 +154,34 @@ def ingest_frame(
             jnp.where(sel[..., None], uv_t[:, None, :], new_uv[:, :, cam, :]))
         new_uvn = new_uvn.at[:, :, cam, :].set(
             jnp.where(sel[..., None], uvn_t[:, None, :], new_uvn[:, :, cam, :]))
-        new_mask = new_mask.at[:, :, cam].set(new_mask[:, :, cam] | sel)
+        new_bits = new_bits.at[:, cam].set(
+            jnp.where(row_any, new_bits[:, cam] | head_bit,
+                      new_bits[:, cam]))
         row_alloc = jnp.any(alloc_hit, axis=1)
         new_ids = jnp.where(row_alloc, id_t, new_ids)
         seen = seen | row_any
 
     return table._replace(ids=new_ids, uv=new_uv, uvn=new_uvn,
-                          mask=new_mask, seen=seen)
+                          mbits=new_bits, seen=seen)
 
 
 def clear_clone_column(table: FeatureTable, slot) -> FeatureTable:
     """Invalidate all observations taken at a marginalized clone slot
-    (FeatureDatabase::cleanup_measurements parity).  One-hot select, not a
-    DUS — see ingest_frame's TPU note."""
-    C = table.mask.shape[1]
-    keep = (jnp.arange(C, dtype=jnp.int32) != slot)[None, :, None]
-    return table._replace(mask=table.mask & keep)
+    (FeatureDatabase::cleanup_measurements parity) — one AND-mask."""
+    bit = jnp.left_shift(jnp.asarray(1, jnp.int32), slot.astype(jnp.int32))
+    return table._replace(mbits=table.mbits & ~bit)
+
+
+def clear_rows(table: FeatureTable, rows_mask) -> FeatureTable:
+    """Drop all observations of the given rows (post-consumption cleanup —
+    the `mask & ~consumed[:, None, None]` idiom in packed form)."""
+    return table._replace(
+        mbits=jnp.where(rows_mask[:, None], 0, table.mbits))
 
 
 def row_obs_counts(table: FeatureTable):
     """[T] number of valid observations per row."""
-    return jnp.sum(table.mask, axis=(1, 2))
+    return jnp.sum(popcount32(table.mbits), axis=1)
 
 
 def lost_rows(table: FeatureTable):
@@ -144,8 +193,10 @@ def lost_rows(table: FeatureTable):
 def full_window_rows(table: FeatureTable, state_n_clones, cfg: FilterConfig):
     """Rows observed in every active clone (features_containing(margtime)
     parity) — SLAM promotion / forced-MSCKF candidates."""
-    seen_per_clone = jnp.any(table.mask, axis=2)  # [T, C]
-    n_clones_seen = jnp.sum(seen_per_clone, axis=1)
+    any_cam = table.mbits[:, 0]
+    for n in range(1, table.mbits.shape[1]):
+        any_cam = any_cam | table.mbits[:, n]
+    n_clones_seen = popcount32(any_cam)
     return (table.ids >= 0) & (n_clones_seen >= state_n_clones)
 
 
@@ -154,6 +205,6 @@ def free_rows(table: FeatureTable, rows_mask) -> FeatureTable:
     keep = ~rows_mask
     return table._replace(
         ids=jnp.where(keep, table.ids, -1),
-        mask=table.mask & keep[:, None, None],
+        mbits=jnp.where(keep[:, None], table.mbits, 0),
         seen=table.seen & keep,
     )

@@ -88,7 +88,10 @@ def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTabl
     def per_row(r):
         valid_row = r < table.ids.shape[0]
         rr = jnp.minimum(r, table.ids.shape[0] - 1)
-        m = table.mask[rr].reshape(O) & valid_row & state.clone_valid[slot_idx]
+        bits_r = table.mbits[rr]  # [N] packed clone bits
+        m_cn = ((bits_r[None, :] >> jnp.arange(C, dtype=jnp.int32)[:, None])
+                & 1) > 0  # [C, N]
+        m = m_cn.reshape(O) & valid_row & state.clone_valid[slot_idx]
         uv = table.uv[rr].reshape(O, 2)
         uvn = table.uvn[rr].reshape(O, 2)
         return m, uv, uvn

@@ -52,7 +52,11 @@ def _add_clone_block(H_x, cfg: FilterConfig, slot, add):
     C = cfg.max_clones
     oh = (jnp.arange(C) == slot).astype(H_x.dtype)  # [C]
     delta = (add[:, None, :] * oh[None, :, None]).reshape(add.shape[0], 6 * C)
-    return H_x.at[:, cfg.clones_off:cfg.clones_off + 6 * C].add(delta)
+    co = cfg.clones_off
+    # concatenate instead of .at[].add: the static-offset DUS this lowered
+    # to copied the whole [L,rows,D] buffer per frame under the vmap
+    return jnp.concatenate([
+        H_x[:, :co], H_x[:, co:co + 6 * C] + delta, H_x[:, co + 6 * C:]], 1)
 
 
 def _set_slam_cols(H_x, cfg: FilterConfig, slot, H_lam):
@@ -69,7 +73,9 @@ def _set_slam_cols(H_x, cfg: FilterConfig, slot, H_lam):
     else:
         oh = (jnp.arange(3 * L) == 3 * slot).astype(H_x.dtype)  # [3L]
         delta = H_lam[:, 0:1] * oh[None, :]
-    return H_x.at[:, cfg.slam_off:cfg.slam_off + 3 * L].add(delta)
+    so = cfg.slam_off
+    return jnp.concatenate([
+        H_x[:, :so], H_x[:, so:so + 3 * L] + delta, H_x[:, so + 3 * L:]], 1)
 
 
 def _aruco_landmark_mask(cfg: FilterConfig, ids):
@@ -339,7 +345,7 @@ def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
     T = table.ids.shape[0]
     consumed_rows = jnp.zeros((T,), dtype=bool).at[rows].set(
         init_ok, mode="drop")
-    table = table._replace(mask=table.mask & ~consumed_rows[:, None, None])
+    table = ft.clear_rows(table, consumed_rows)
     return state, table, n_init
 
 
@@ -604,7 +610,7 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
     n_init = jnp.sum(ok.astype(jnp.int32))
     T = table.ids.shape[0]
     consumed_rows = jnp.zeros((T,), dtype=bool).at[rows].set(ok, mode="drop")
-    table = table._replace(mask=table.mask & ~consumed_rows[:, None, None])
+    table = ft.clear_rows(table, consumed_rows)
 
     if collect:  # joint mode: the caller applies the leftover rows
         return state, table, n_init, H_up_all, res_up_all
@@ -701,11 +707,12 @@ def build_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
 
     def per_landmark(slot):
         r = row[slot]
-        uv_r, uvn_r, m_r = table.uv[r], table.uvn[r], table.mask[r]
+        uv_r, uvn_r = table.uv[r], table.uvn[r]
+        bits_r = table.mbits[r]  # [N] packed clone bits
 
         def gather_slot(s):
             return (take1(uv_r, s), take1(uvn_r, s),
-                    take1(m_r.astype(jnp.float32), s) > 0.5)
+                    ((bits_r >> s) & 1) > 0)
 
         uv_w, uvn_w, m_w = jax.vmap(gather_slot)(slots_w)
         obs = uh.GatheredObs(
@@ -775,8 +782,7 @@ def build_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     # processed (used or chi2-rejected) — clear them from the table
     consumed = has_row & jnp.any(row_mask, axis=1)  # [L]
     consumed_rows = jnp.any(eq & consumed[:, None], axis=0)  # [T]
-    table = table._replace(
-        mask=table.mask & ~consumed_rows[:, None, None])
+    table = ft.clear_rows(table, consumed_rows)
 
     failed = consumed & (~ok)
     state = state._replace(slam_fail=state.slam_fail + failed.astype(jnp.int32))

@@ -225,7 +225,7 @@ def frame_disparity(table, cfg: FilterConfig, head_slot, ids, uv, meas_mask):
         has = jnp.any(eq, axis=0) & meas_mask[cam] & (cam_ids >= 0)
         # row gather on the big table dim, then a gather-free head lookup
         prev_uv = take1(jnp.swapaxes(table.uv[row, :, cam], 0, 1), head_slot)
-        prev_ok = take1(jnp.swapaxes(table.mask[row, :, cam], 0, 1), head_slot)
+        prev_ok = ((table.mbits[row, cam] >> head_slot) & 1) > 0
         d = jnp.linalg.norm(uv[cam] - prev_uv, axis=-1)
         ok = has & prev_ok
         total = total + jnp.sum(jnp.where(ok, d, 0.0))

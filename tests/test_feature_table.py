@@ -44,7 +44,7 @@ def oracle_ingest(tab, head_slot, ids, uv, uvn, mask, num_cams):
 
 def to_np(t):
     return dict(ids=np.array(t.ids), uv=np.array(t.uv), uvn=np.array(t.uvn),
-                mask=np.array(t.mask), seen=np.array(t.seen))
+                mask=np.array(ft.mask_bool(t)), seen=np.array(t.seen))
 
 
 @pytest.mark.parametrize("num_cams,T,P", [(1, 24, 10), (2, 16, 8)])
