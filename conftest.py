@@ -22,6 +22,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# CPU-scoped persistent compile cache: the suite is dominated by jit
+# compilation of closed-loop programs (48 min cold / most of it compiles).
+# A platform-scoped cache dir is safe — the CLAUDE.md hazard is only about
+# SHARING one dir between the remote-compile TPU tunnel and local CPU
+# (tunnel-emitted CPU AOT artifacts SIGILL local runs); this dir is used
+# by the forced-CPU test platform exclusively.  OVT_TEST_NO_CACHE=1 opts
+# out (e.g. to measure cold-compile regressions).
+if not os.environ.get("OVT_TEST_NO_CACHE"):
+    _cache = os.path.expanduser("~/.cache/ovt_cpu_test_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 

@@ -81,9 +81,9 @@ def propagate_covariance(cov, Phi, Qd, cfg: FilterConfig, B=None):
     rows_new = J @ P_sel  # [15, D]
     corner = rows_new[:, :d] @ Phi.T + rows_new[:, gi : gi + gd] @ B.T + Qd
     corner = 0.5 * (corner + corner.T)
-    cov = cov.at[:d, :].set(rows_new)
-    cov = cov.at[:, :d].set(rows_new.T)
-    return cov.at[:d, :d].set(corner)
+    top = jnp.concatenate([corner, rows_new[:, d:]], axis=1)
+    bot = jnp.concatenate([rows_new[:, d:].T, cov[d:, d:]], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def augment_clone(state: VioState, cfg: FilterConfig, w_hat) -> VioState:

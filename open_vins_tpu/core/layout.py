@@ -78,16 +78,25 @@ class FilterConfig(NamedTuple):
     # sub-updates.  Closed-loop NEES/RMSE parity is pinned by
     # tests/test_e2e_sim.py + tests/test_slam.py (joint vs sequential).
     # False restores the reference-exact sequential ordering.
-    joint_update_form: str = "spd"  # how the joint vision system is applied:
-    # "spd" (default) = symmetric push-through: one grammian + two SPD
-    # Choleskys + ONE triangular solve on the raw whitened stack, no
-    # compression stage (core/ekf.kalman_update_math_spd) — MEASURED on
-    # TPU v5e at the operating point (k=231): 1500 fps vs qr's 1376 (+9%),
-    # identical closed-loop RMSE/NEES (the gain operator carries a designed
-    # conservative 3e-5 relative prior jitter; equivalence pinned by
-    # tests/test_ekf.py + the closed-loop suites).
+    joint_update_form: str = "newton"  # how the joint vision system applies:
+    # "newton" (default) = push-through (Woodbury) with the k×k inverse by
+    # Hotelling–Bodewig iteration (core/ekf.kalman_update_math_newton) —
+    # EXACT information-form algebra (A = I + G·P_ss has spectrum ≥ 1, no
+    # jitter anywhere) realized as ~2·iters batched matmuls with ZERO
+    # factorization custom calls.  MEASURED on TPU v5e at the operating
+    # point (k=231): 1777 fps single-stream vs spd's 1504 (+18%), and the
+    # decisive win is the ensemble axis — TPU factorization custom calls
+    # serialize over a vmapped batch (91 µs/frame at B=1 → 1010 µs at
+    # B=8), while Newton matmuls ride the MXU at near-zero marginal batch
+    # cost (B=8 aggregate 2168 → 2715 fps from this change alone).
+    # Equivalence pinned by tests/test_ekf.py (healthy / PSD-singular /
+    # f32-residue covariances, conditioning swept to λmax=1e4) + the
+    # closed-loop rep × form matrix in tests/test_update_forms.py.
+    # "spd" = symmetric push-through: one grammian + two SPD Choleskys +
+    # ONE triangular solve (three custom calls; carries a designed
+    # conservative 3e-5 relative prior jitter in the gain operator).
     # "qr" = CholeskyQR2-compress then the standard S-Cholesky update
-    # (five k×k custom calls vs spd's three).
+    # (five k×k custom calls).
     # "woodbury" = push-through via ONE k×k LU (kalman_update_math_info) —
     # measured 466 fps on TPU: the pivoted-getrf custom call serializes its
     # row interchanges; it wins only where LU is cheap (CPU) or for small k

@@ -170,8 +170,15 @@ def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     sup = cfg.cam_meas_support_ranges
     P_ss = uh.take_cols(uh.take_cols(state.cov, sup).T, sup)
 
+    # per-obs-slot state context hoisted out of the feature vmap (the
+    # slot/cam layout is shared by every feature — see uh.ObsContext)
+    ctx = uh.obs_context(state, cfg,
+                         jax.tree_util.tree_map(lambda a: a[0], gobs).clone_slot,
+                         jax.tree_util.tree_map(lambda a: a[0], gobs).cam)
+
     def per_feature(obs_g, pf):
-        H_x, H_f, res, row_mask = uh.feature_jacobian(state, cfg, obs_g, pf, pf)
+        H_x, H_f, res, row_mask = uh.feature_jacobian(state, cfg, obs_g, pf,
+                                                      pf, ctx=ctx)
         H_proj, res_proj = uh.nullspace_project(H_x, H_f, res)
         gamma = uh.chi2_statistic(P_ss, uh.take_cols(H_proj, sup),
                                   res_proj, sigma)

@@ -44,30 +44,77 @@ class GatheredObs(NamedTuple):
     mask: jax.Array  # [O] valid
 
 
-def feature_jacobian(
-    state: VioState, cfg: FilterConfig, obs: GatheredObs, p_f, p_f_fej
-):
-    """Stacked measurement system for one feature (GLOBAL_3D representation).
+class ObsContext(NamedTuple):
+    """Per-obs-slot state context (clone poses + camera calib), computed
+    ONCE per frame with `obs_context` and shared by every feature.
 
-    Returns (H_x [2O, D], H_f [2O, 3], res [2O], row_mask [2O]).
-    Rows for invalid observations are zeroed.
+    Why: `feature_jacobian` is vmapped over F features; its per-obs state
+    lookups (take1 + quat_2_rot chains) do not depend on the feature, but
+    under the vmap XLA materializes them per (feature, obs) — F×O small-
+    rotation soups ([F,O,3,3] fusions were ~12% of the B=8 device program)
+    instead of O.  Hoisting them here makes the per-feature work start at
+    the geometry that actually varies.
     """
-    D = cfg.state_dim
-    O = obs.mask.shape[0]
-    dtype = state.cov.dtype
 
-    def one_obs(slot, cam, uv, valid):
-        # gather clone + calib (current and FEJ linearization values);
-        # take1 = gather-free lookup (axon small-gather miscompile workaround)
+    R_GtoI: jax.Array  # [O, 3, 3]
+    R_GtoI_fej: jax.Array  # [O, 3, 3]
+    p_c: jax.Array  # [O, 3]
+    p_c_fej: jax.Array  # [O, 3]
+    R_ItoC: jax.Array  # [O, 3, 3]
+    p_IinC: jax.Array  # [O, 3]
+    zeta: jax.Array  # [O, 8]
+
+
+def obs_context(state: VioState, cfg: FilterConfig, slot_idx, cam_idx
+                ) -> ObsContext:
+    """Build the [O]-indexed state context for (clone slot, camera) pairs.
+
+    take1 = gather-free one-hot lookup (axon small-gather miscompile
+    workaround)."""
+
+    def one(slot, cam):
         q_c = take1(state.clones_q, slot)
         p_c = take1(state.clones_p, slot)
         q_c_fej = take1(state.clones_q_fej, slot) if cfg.use_fej else q_c
         p_c_fej = take1(state.clones_p_fej, slot) if cfg.use_fej else p_c
-        R_GtoI = lie.quat_2_rot(q_c)
-        R_GtoI_fej = lie.quat_2_rot(q_c_fej)
-        R_ItoC = lie.quat_2_rot(take1(state.calib_ext_q, cam))
-        p_IinC = take1(state.calib_ext_p, cam)
-        zeta = take1(state.calib_intr, cam)
+        return ObsContext(
+            R_GtoI=lie.quat_2_rot(q_c),
+            R_GtoI_fej=lie.quat_2_rot(q_c_fej),
+            p_c=p_c,
+            p_c_fej=p_c_fej,
+            R_ItoC=lie.quat_2_rot(take1(state.calib_ext_q, cam)),
+            p_IinC=take1(state.calib_ext_p, cam),
+            zeta=take1(state.calib_intr, cam),
+        )
+
+    return jax.vmap(one)(slot_idx, cam_idx)
+
+
+def feature_jacobian(
+    state: VioState, cfg: FilterConfig, obs: GatheredObs, p_f, p_f_fej,
+    ctx: ObsContext = None,
+):
+    """Stacked measurement system for one feature (GLOBAL_3D representation).
+
+    Returns (H_x [2O, D], H_f [2O, 3], res [2O], row_mask [2O]).
+    Rows for invalid observations are zeroed.  Pass a precomputed `ctx`
+    (see ObsContext) whenever this is called under a feature vmap.
+    """
+    D = cfg.state_dim
+    O = obs.mask.shape[0]
+    dtype = state.cov.dtype
+    if ctx is None:
+        ctx = obs_context(state, cfg, obs.clone_slot, obs.cam)
+
+    def one_obs(cx, slot, cam, uv, valid):
+        # state lookups all live in cx (hoisted out of the feature vmap)
+        p_c = cx.p_c
+        p_c_fej = cx.p_c_fej
+        R_GtoI = cx.R_GtoI
+        R_GtoI_fej = cx.R_GtoI_fej
+        R_ItoC = cx.R_ItoC
+        p_IinC = cx.p_IinC
+        zeta = cx.zeta
 
         # prediction with current estimates
         p_FinI = R_GtoI @ (p_f - p_c)
@@ -145,7 +192,7 @@ def feature_jacobian(
         return row * w, H_f_o * w, res * w
 
     H_x_rows, H_f_rows, res_rows = jax.vmap(one_obs)(
-        obs.clone_slot, obs.cam, obs.uv, obs.mask
+        ctx, obs.clone_slot, obs.cam, obs.uv, obs.mask
     )
     H_x = H_x_rows.reshape(2 * O, D)
     H_f = H_f_rows.reshape(2 * O, 3)

@@ -174,7 +174,8 @@ def promotion_candidates(state: VioState, cfg: FilterConfig,
     T = table.ids.shape[0]
     _, rows = jax.lax.top_k(score, min(MAX_INIT_PER_FRAME, T))
     take = (score[rows] > 0) & (jnp.arange(rows.shape[0]) < budget)
-    return jnp.zeros((T,), dtype=bool).at[rows].set(take, mode="drop")
+    return jnp.any(
+        (jnp.arange(T)[:, None] == rows[None, :]) & take[None, :], axis=1)
 
 
 def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
@@ -218,13 +219,16 @@ def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
     # free slot for the i-th init: i-th free slam slot
     free_order = jnp.sort(jnp.where(~state.slam_valid, jnp.arange(L), L))
 
+    ctx0 = uh.obs_context(state, cfg, gobs.clone_slot[0], gobs.cam[0])
+
     def body(i, carry):
         st, n_done = carry
         ok = cand_ok[i] & tri_ok[i] & (n_done < n_free)
         slot = free_order[jnp.clip(n_done, 0, L - 1)]
         obs_i = jax.tree_util.tree_map(lambda a: a[i], gobs)
+        # ctx0 is hoisted: clone poses / calib never change inside this loop
         H_x, H_fg, res, row_mask = uh.feature_jacobian(
-            st, cfg, obs_i, p_f[i], p_f[i]
+            st, cfg, obs_i, p_f[i], p_f[i], ctx=ctx0
         )
         # non-xyz reps: anchor at the newest clone, cam 0; convert the
         # triangulated global point + global-landmark rows into λ space.
@@ -343,8 +347,8 @@ def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
     # UpdaterSLAM.cpp:237) — the stacked multi-frame update would otherwise
     # re-use the whole window next frame
     T = table.ids.shape[0]
-    consumed_rows = jnp.zeros((T,), dtype=bool).at[rows].set(
-        init_ok, mode="drop")
+    consumed_rows = jnp.any(
+        (jnp.arange(T)[:, None] == rows[None, :]) & init_ok[None, :], axis=1)
     table = ft.clear_rows(table, consumed_rows)
     return state, table, n_init
 
@@ -448,11 +452,13 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
         table.ids[jnp.minimum(rows, table.ids.shape[0] - 1)], -1)
     free_order = jnp.sort(jnp.where(~state.slam_valid, jnp.arange(L), L))
 
+    ctx0 = uh.obs_context(state, cfg, gobs.clone_slot[0], gobs.cam[0])
+
     def build(i):
         """Rotated init system of candidate i (pre-frame linearization)."""
         obs_i = jax.tree_util.tree_map(lambda a: a[i], gobs)
         H_x, H_fg, res, row_mask = uh.feature_jacobian(
-            state, cfg, obs_i, p_f[i], p_f[i])
+            state, cfg, obs_i, p_f[i], p_f[i], ctx=ctx0)
         extra_ok = jnp.asarray(True)
         if lrep.needs_lam_jacobian(rep_lin):
             a_slot = state.head
@@ -570,16 +576,16 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
     P_fX = -(Bflat @ HxP)  # [F*k, D]
 
     col = (3 * slot_eff)[:, None] + jnp.arange(k)[None, :]  # [F,k]
-    E = (jnp.arange(3 * L)[None, :]
-         == col.reshape(F * k)[:, None]).astype(dtype)  # [Fk, 3L]
-    rows_add = E.T @ P_fX  # [3L, D]
-    so = cfg.slam_off
-    cov = state.cov
-    cov = cov.at[so:so + 3 * L, :].add(rows_add)
-    cov = cov.at[:, so:so + 3 * L].add(rows_add.T)
+    # one-hot over the FULL state width: the slam-block .at[so:...].add
+    # writes lowered to [D,D] dynamic-update-slices that copied the whole
+    # covariance three times per frame (TPU profile); expanding E to [Fk,D]
+    # turns the insertion into two matmul-shaped adds + one corner product
+    E = (jnp.arange(D)[None, :]
+         == (cfg.slam_off + col.reshape(F * k))[:, None]).astype(dtype)
+    rows_add = E.T @ P_fX  # [D, D], nonzero only at the new slam rows
     # P_fX's columns at the new slots are zero (free-slot covariance rows
     # are zero), so the corner gets exactly P_FF with no double count
-    cov = cov.at[so:so + 3 * L, so:so + 3 * L].add(E.T @ P_FF @ E)
+    cov = state.cov + rows_add + rows_add.T + E.T @ P_FF @ E
 
     # mean correction per landmark: dlam = R1inv res1 (rho-only for single)
     df = jax.vmap(lambda B, r: B @ r)(R1inv, res1)  # [F,k]
@@ -609,7 +615,8 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
 
     n_init = jnp.sum(ok.astype(jnp.int32))
     T = table.ids.shape[0]
-    consumed_rows = jnp.zeros((T,), dtype=bool).at[rows].set(ok, mode="drop")
+    consumed_rows = jnp.any(
+        (jnp.arange(T)[:, None] == rows[None, :]) & ok[None, :], axis=1)
     table = ft.clear_rows(table, consumed_rows)
 
     if collect:  # joint mode: the caller applies the leftover rows
@@ -705,6 +712,8 @@ def build_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
     sup = cfg.slam_meas_support_ranges
     P_ss = uh.take_cols(uh.take_cols(state.cov, sup).T, sup)
 
+    ctx_w = uh.obs_context(state, cfg, slot_idx, cam_idx)
+
     def per_landmark(slot):
         r = row[slot]
         uv_r, uvn_r = table.uv[r], table.uvn[r]
@@ -726,7 +735,7 @@ def build_update(state: VioState, cfg: FilterConfig, table: ft.FeatureTable):
         p_G_fej = (landmark_global(state, cfg, slot, fej=True)
                    if cfg.use_fej else p_G_cur)
         H_x, H_fg, res, row_mask = uh.feature_jacobian(
-            state, cfg, obs, p_G_cur, p_G_fej
+            state, cfg, obs, p_G_cur, p_G_fej, ctx=ctx_w
         )
         n_valid = jnp.sum(row_mask.astype(jnp.int32))
         if single:

@@ -5,6 +5,7 @@ promotion priority, keyed off the 4*tag+corner id space."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from open_vins_tpu.core.layout import FilterConfig
 from open_vins_tpu.frontend import tracker
@@ -37,6 +38,7 @@ def test_aruco_mask_id_contract():
     assert not np.array(us._aruco_landmark_mask(cfg0, ids)).any()
 
 
+@pytest.mark.slow
 def test_equal_sigma_reproduces_baseline():
     """With sigma_aruco == sigma_slam and EVERY feature inside the aruco id
     space (sim ids are dense from 0), whitening is identity and the

@@ -373,7 +373,10 @@ class TestPropagation:
                          cov=random_spd(CFG.state_dim, seed=9, scale=0.01))
         return st
 
-    @pytest.mark.parametrize("integration", ["rk4", "discrete", "analytical"])
+    @pytest.mark.parametrize("integration", [
+        "rk4",
+        pytest.param("discrete", marks=pytest.mark.slow),
+        "analytical"])
     def test_mean_tracks_groundtruth(self, integration):
         params, sim = self._sim()
         st = self._init_from_gt(sim, params, 0.0)

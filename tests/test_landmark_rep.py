@@ -94,7 +94,7 @@ class TestRepMath:
 
 
 PARAMS = simulator.SimParams(imu_rate=200.0, cam_rate=20.0, num_cams=1,
-                             num_pts=40, map_size=1024, duration=8.0,
+                             num_pts=36, map_size=1024, duration=5.0,
                              sigma_pix=1.0)
 TRI = tri.TriangulationOptions()
 

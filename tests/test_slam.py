@@ -105,6 +105,7 @@ class TestSlam:
         assert m > 0.5, f"pose NEES suspiciously low: {m:.2f}"
 
 
+@pytest.mark.slow
 def test_joint_init_matches_sequential(monkeypatch):
     """The joint batched delayed init must reproduce the sequential
     (reference-ordered) loop: same landmark sets and matching trajectory +
