@@ -176,16 +176,20 @@ def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
                          jax.tree_util.tree_map(lambda a: a[0], gobs).clone_slot,
                          jax.tree_util.tree_map(lambda a: a[0], gobs).cam)
 
-    def per_feature(obs_g, pf):
-        H_x, H_f, res, row_mask = uh.feature_jacobian(state, cfg, obs_g, pf,
-                                                      pf, ctx=ctx)
+    # SoA batched linearization (lane-major over the F·O obs grid — see
+    # uh.feature_jacobian_batch); projection/gating stay vmapped per feature
+    H_x_b, H_f_b, res_b, row_mask_b = uh.feature_jacobian_batch(
+        state, cfg, gobs, p_f, p_f, ctx)
+
+    def per_feature(H_x, H_f, res, row_mask):
         H_proj, res_proj = uh.nullspace_project(H_x, H_f, res)
         gamma = uh.chi2_statistic(P_ss, uh.take_cols(H_proj, sup),
                                   res_proj, sigma)
         n_rows = jnp.sum(row_mask.astype(jnp.int32))
         return H_proj, res_proj, gamma, n_rows
 
-    H_proj, res_proj, gamma, n_rows = jax.vmap(per_feature)(gobs, p_f)
+    H_proj, res_proj, gamma, n_rows = jax.vmap(per_feature)(
+        H_x_b, H_f_b, res_b, row_mask_b)
 
     dof = jnp.maximum(n_rows - 3, 1)
     gate = ekf.chi2_gate(dof) * cfg.chi2_multiplier

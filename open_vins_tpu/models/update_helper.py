@@ -416,3 +416,137 @@ def chi2_statistic(state_cov, H, res, sigma):
         return smallmat.chi2_quadform(S, res)
     sol = jnp.linalg.solve(S, res)
     return jnp.dot(res, sol)
+
+
+def _soa_mm(A, B):
+    """[a,k,M] @ [k,b,M] -> [a,b,M] with the flat obs axis trailing."""
+    return jnp.einsum("ikm,kbm->ibm", A, B)
+
+
+def _soa_skew(p):
+    """[3,M] -> skew matrices [3,3,M]."""
+    z = jnp.zeros_like(p[0])
+    return jnp.stack([
+        jnp.stack([z, -p[2], p[1]]),
+        jnp.stack([p[2], z, -p[0]]),
+        jnp.stack([-p[1], p[0], z]),
+    ])
+
+
+def feature_jacobian_batch(
+    state: VioState, cfg: FilterConfig, gobs: GatheredObs, p_f, p_f_fej,
+    ctx: ObsContext,
+):
+    """Batched `feature_jacobian` in SoA layout: the whole [F, O] obs grid
+    is linearized with component dims LEADING and a flattened M = F·O obs
+    axis trailing, so the small-matrix chains (projection, distortion,
+    clone/calib blocks) run as lane-parallel elementwise ops instead of
+    [F,O,2,3]-shaped fusions whose 3-wide minor dims tile at ~2% lane
+    occupancy on TPU.  Same math as `feature_jacobian` (pinned by
+    tests/test_update_helper_batch.py); GLOBAL_3D representation.
+
+    gobs: batched [F, O] GatheredObs (slot/cam rows identical per feature).
+    p_f / p_f_fej: [F, 3].  ctx: ObsContext over the [O] slot layout.
+    Returns (H_x [F, 2O, D], H_f [F, 2O, 3], res [F, 2O], row_mask [F, 2O]).
+    """
+    from open_vins_tpu.ops import cameras as cam_ops
+
+    D = cfg.state_dim
+    F, O = gobs.mask.shape
+    M = F * O
+    dtype = state.cov.dtype
+    C, N = cfg.max_clones, cfg.num_cams
+    slot_idx = gobs.clone_slot[0]  # [O] (identical rows)
+    cam_idx = gobs.cam[0]
+
+    def ob(a, comp_shape):
+        """ctx array [O, *comp] -> [ *comp, M ] broadcast over features."""
+        moved = jnp.moveaxis(a, 0, -1)  # [*comp, O]
+        return jnp.broadcast_to(
+            moved[..., None, :], comp_shape + (F, O)).reshape(comp_shape + (M,))
+
+    R_GtoI = ob(ctx.R_GtoI, (3, 3))
+    R_GtoI_fej = ob(ctx.R_GtoI_fej, (3, 3))
+    p_c = ob(ctx.p_c, (3,))
+    p_c_fej = ob(ctx.p_c_fej, (3,))
+    R_ItoC = ob(ctx.R_ItoC, (3, 3))
+    p_IinC = ob(ctx.p_IinC, (3,))
+    zeta = ob(ctx.zeta, (8,))
+
+    def fcol(a):
+        """[F, k] -> [k, M] broadcast over obs."""
+        moved = a.T[:, :, None]  # [k, F, 1]
+        return jnp.broadcast_to(moved, (a.shape[1], F, O)).reshape(-1, M)
+
+    pf = fcol(p_f)
+    pf_fej = fcol(p_f_fej)
+
+    # geometry at current estimates
+    p_FinI = jnp.einsum("ijm,jm->im", R_GtoI, pf - p_c)
+    p_FinC = jnp.einsum("ijm,jm->im", R_ItoC, p_FinI) + p_IinC
+    z_safe = jnp.where(jnp.abs(p_FinC[2]) > 1e-6, p_FinC[2], 1e-6)
+    x_n, y_n = p_FinC[0] / z_safe, p_FinC[1] / z_safe
+    uv_pred, J_dist, J_zeta = cam_ops.distort_jacobians_soa(
+        cfg.cam_model, zeta, x_n, y_n)
+    uv_meas = jnp.moveaxis(gobs.uv, -1, 0).reshape(2, M)
+    res = uv_meas - uv_pred  # [2, M]
+
+    # FEJ-linearized geometry (UpdaterHelper.cpp:353-363)
+    p_FinI_fej = jnp.einsum("ijm,jm->im", R_GtoI_fej, pf_fej - p_c_fej)
+    p_FinC_fej = jnp.einsum("ijm,jm->im", R_ItoC, p_FinI_fej) + p_IinC
+    z_fej = jnp.where(jnp.abs(p_FinC_fej[2]) > 1e-6, p_FinC_fej[2], 1e-6)
+    inv_z = 1.0 / z_fej
+    zero = jnp.zeros_like(inv_z)
+    J_proj = jnp.stack([
+        jnp.stack([inv_z, zero, -p_FinC_fej[0] * inv_z * inv_z]),
+        jnp.stack([zero, inv_z, -p_FinC_fej[1] * inv_z * inv_z]),
+    ])  # [2, 3, M]
+    dz_dpC = _soa_mm(J_dist, J_proj)  # [2, 3, M]
+
+    dpC_dth = _soa_mm(R_ItoC, _soa_skew(p_FinI_fej))
+    RR = _soa_mm(R_ItoC, R_GtoI_fej)
+    H_f_o = _soa_mm(dz_dpC, RR)        # [2, 3, M]
+    H_th = _soa_mm(dz_dpC, dpC_dth)
+    H_p = -_soa_mm(dz_dpC, RR)
+
+    w = gobs.mask.reshape(M).astype(dtype)
+
+    def to_fo(a):
+        """[2, k, M] -> [F, O, 2, k] (weighted)."""
+        k = a.shape[1]
+        return jnp.moveaxis((a * w).reshape(2, k, F, O), (2, 3), (0, 1))
+
+    blk = jnp.concatenate([to_fo(H_th), to_fo(H_p)], axis=-1)  # [F,O,2,6]
+    oh_c = (slot_idx[:, None] == jnp.arange(C)[None, :]).astype(dtype)
+    clone_cols = (blk[:, :, :, None, :]
+                  * oh_c[None, :, None, :, None]).reshape(F, O, 2, 6 * C)
+    oh_n = (cam_idx[:, None] == jnp.arange(N)[None, :]).astype(dtype)
+    if cfg.calib_cam_extrinsics:
+        H_cth = _soa_mm(dz_dpC, _soa_skew(
+            jnp.einsum("ijm,jm->im", R_ItoC, p_FinI_fej)))
+        ext_blk = jnp.concatenate([to_fo(H_cth), to_fo(dz_dpC)], axis=-1)
+        ext_cols = (ext_blk[:, :, :, None, :]
+                    * oh_n[None, :, None, :, None]).reshape(F, O, 2, 6 * N)
+    else:
+        ext_cols = jnp.zeros((F, O, 2, 6 * N), dtype=dtype)
+    if cfg.calib_cam_intrinsics:
+        intr = to_fo(J_zeta)  # [F,O,2,8]
+        intr_cols = (intr[:, :, :, None, :]
+                     * oh_n[None, :, None, :, None]).reshape(F, O, 2, 8 * N)
+    else:
+        intr_cols = jnp.zeros((F, O, 2, 8 * N), dtype=dtype)
+
+    rows = jnp.concatenate([
+        jnp.zeros((F, O, 2, cfg.clones_off), dtype=dtype),
+        clone_cols,
+        jnp.zeros((F, O, 2, cfg.calib_ext_off - cfg.slam_off), dtype=dtype),
+        ext_cols,
+        intr_cols,
+        jnp.zeros((F, O, 2, D - cfg.calib_intr_off - 8 * N), dtype=dtype),
+    ], axis=-1)
+
+    H_x = rows.reshape(F, 2 * O, D)
+    H_f = to_fo(H_f_o).reshape(F, 2 * O, 3)
+    res_out = jnp.moveaxis((res * w).reshape(2, F, O), 0, -1).reshape(F, 2 * O)
+    row_mask = jnp.repeat(gobs.mask, 2, axis=-1)
+    return H_x, H_f, res_out, row_mask

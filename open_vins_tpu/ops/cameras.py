@@ -143,3 +143,104 @@ def distort_jacobians(model: str, zeta, uv_norm):
         J_pt.reshape(uv_norm.shape[:-1] + (2, 2)),
         J_zeta.reshape(uv_norm.shape[:-1] + (2, 8)),
     )
+
+
+# ---------------------------------------------------------------------------
+# SoA (structure-of-arrays) distortion Jacobians: component dims LEADING,
+# a flat obs axis M trailing.  Functionally identical to distort_jacobians
+# (pinned by tests/test_cameras.py), but written as hand-derived analytic
+# expressions over [M]-shaped lanes — the autodiff version under a feature
+# vmap materializes [F,O,2,2]-shaped fusions whose tiny minor dims tile at
+# a few percent lane occupancy on TPU (see update_helper.ObsContext note).
+# Reference math: CamRadtan.h:150-200, CamEqui.h:160-235.
+# ---------------------------------------------------------------------------
+
+
+def _distort_jac_soa_radtan(zc, x, y):
+    """zc [8, M], x/y [M] -> (uv [2,M], J_pt [2,2,M], J_zeta [2,8,M])."""
+    fx, fy, cx, cy, k1, k2, p1, p2 = (zc[i] for i in range(8))
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    u = fx * xd + cx
+    v = fy * yd + cy
+    dk = k1 + 2.0 * k2 * r2  # d radial / d r2
+    dxd_dx = radial + 2.0 * x * x * dk + 2.0 * p1 * y + 6.0 * p2 * x
+    dxd_dy = 2.0 * x * y * dk + 2.0 * p1 * x + 2.0 * p2 * y
+    dyd_dx = dxd_dy
+    dyd_dy = radial + 2.0 * y * y * dk + 6.0 * p1 * y + 2.0 * p2 * x
+    J_pt = jnp.stack([
+        jnp.stack([fx * dxd_dx, fx * dxd_dy]),
+        jnp.stack([fy * dyd_dx, fy * dyd_dy]),
+    ])  # [2, 2, M]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    J_zeta = jnp.stack([
+        jnp.stack([xd, zero, one, zero, fx * x * r2, fx * x * r2 * r2,
+                   fx * 2.0 * x * y, fx * (r2 + 2.0 * x * x)]),
+        jnp.stack([zero, yd, zero, one, fy * y * r2, fy * y * r2 * r2,
+                   fy * (r2 + 2.0 * y * y), fy * 2.0 * x * y]),
+    ])  # [2, 8, M]
+    uv = jnp.stack([u, v])
+    return uv, J_pt, J_zeta
+
+
+def _distort_jac_soa_equi(zc, x, y):
+    """Equidistant model, same contract as the radtan variant."""
+    fx, fy, cx, cy, k1, k2, k3, k4 = (zc[i] for i in range(8))
+    r2 = x * x + y * y
+    r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+    small = r2 < 1e-16
+    theta = jnp.arctan(r)
+    t2 = theta * theta
+    poly = 1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))
+    theta_d = theta * poly
+    scale = jnp.where(small, 1.0, theta_d / r)
+    xd = x * scale
+    yd = y * scale
+    u = fx * xd + cx
+    v = fy * yd + cy
+    # d theta / d r = 1/(1+r^2);  d theta_d / d theta = 1 + 3k1 t^2 + ...
+    dthd_dth = 1.0 + t2 * (3.0 * k1 + t2 * (5.0 * k2
+                                            + t2 * (7.0 * k3 + 9.0 * k4 * t2)))
+    dth_dr = 1.0 / (1.0 + r2)
+    # d scale / d r = (dthd_dth * dth_dr * r - theta_d) / r^2
+    dscale_dr = jnp.where(
+        small, 0.0,
+        (dthd_dth * dth_dr - scale) / jnp.maximum(r, 1e-12))
+    # dr/dx = x/r, dr/dy = y/r
+    rx = jnp.where(small, 0.0, x / jnp.maximum(r, 1e-12))
+    ry = jnp.where(small, 0.0, y / jnp.maximum(r, 1e-12))
+    dxd_dx = scale + x * dscale_dr * rx
+    dxd_dy = x * dscale_dr * ry
+    dyd_dx = y * dscale_dr * rx
+    dyd_dy = scale + y * dscale_dr * ry
+    J_pt = jnp.stack([
+        jnp.stack([fx * dxd_dx, fx * dxd_dy]),
+        jnp.stack([fy * dyd_dx, fy * dyd_dy]),
+    ])
+    # d theta_d / d k_i = theta^(3+2i); d xd/dk = x/r * dthd_dk
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    t3 = t2 * theta
+    safe_inv_r = jnp.where(small, 0.0, 1.0 / jnp.maximum(r, 1e-12))
+    dthd_k = [t3, t3 * t2, t3 * t2 * t2, t3 * t2 * t2 * t2]
+    J_zeta = jnp.stack([
+        jnp.stack([xd, zero, one, zero]
+                  + [fx * x * safe_inv_r * d for d in dthd_k]),
+        jnp.stack([zero, yd, zero, one]
+                  + [fy * y * safe_inv_r * d for d in dthd_k]),
+    ])
+    uv = jnp.stack([u, v])
+    return uv, J_pt, J_zeta
+
+
+_DISTORT_JAC_SOA = {RADTAN: _distort_jac_soa_radtan,
+                    EQUI: _distort_jac_soa_equi}
+
+
+def distort_jacobians_soa(model: str, zeta_cols, x, y):
+    """SoA distortion: zeta_cols [8, M], x/y [M] →
+    (uv_pred [2,M], d_uv/d_uvnorm [2,2,M], d_uv/d_zeta [2,8,M])."""
+    return _DISTORT_JAC_SOA[model](zeta_cols, x, y)
