@@ -419,8 +419,13 @@ def chi2_statistic(state_cov, H, res, sigma):
 
 
 def _soa_mm(A, B):
-    """[a,k,M] @ [k,b,M] -> [a,b,M] with the flat obs axis trailing."""
-    return jnp.einsum("ikm,kbm->ibm", A, B)
+    """[a,k,M] @ [k,b,M] -> [a,b,M] with the flat obs axis trailing.
+
+    Written as broadcast-multiply-sum, NOT einsum/dot_general: XLA lowers
+    a dot with batch dim M to a [M,a,b]-batched matmul and relays the
+    operands M-major (transpose copies of every [3,3,M] array, visible in
+    the B=8 trace); the elementwise form keeps M on lanes."""
+    return (A[:, :, None, :] * B[None, :, :, :]).sum(1)
 
 
 def _soa_skew(p):
@@ -482,8 +487,8 @@ def feature_jacobian_batch(
     pf_fej = fcol(p_f_fej)
 
     # geometry at current estimates
-    p_FinI = jnp.einsum("ijm,jm->im", R_GtoI, pf - p_c)
-    p_FinC = jnp.einsum("ijm,jm->im", R_ItoC, p_FinI) + p_IinC
+    p_FinI = (R_GtoI * (pf - p_c)[None, :, :]).sum(1)
+    p_FinC = (R_ItoC * p_FinI[None, :, :]).sum(1) + p_IinC
     z_safe = jnp.where(jnp.abs(p_FinC[2]) > 1e-6, p_FinC[2], 1e-6)
     x_n, y_n = p_FinC[0] / z_safe, p_FinC[1] / z_safe
     uv_pred, J_dist, J_zeta = cam_ops.distort_jacobians_soa(
@@ -492,8 +497,8 @@ def feature_jacobian_batch(
     res = uv_meas - uv_pred  # [2, M]
 
     # FEJ-linearized geometry (UpdaterHelper.cpp:353-363)
-    p_FinI_fej = jnp.einsum("ijm,jm->im", R_GtoI_fej, pf_fej - p_c_fej)
-    p_FinC_fej = jnp.einsum("ijm,jm->im", R_ItoC, p_FinI_fej) + p_IinC
+    p_FinI_fej = (R_GtoI_fej * (pf_fej - p_c_fej)[None, :, :]).sum(1)
+    p_FinC_fej = (R_ItoC * p_FinI_fej[None, :, :]).sum(1) + p_IinC
     z_fej = jnp.where(jnp.abs(p_FinC_fej[2]) > 1e-6, p_FinC_fej[2], 1e-6)
     inv_z = 1.0 / z_fej
     zero = jnp.zeros_like(inv_z)
@@ -523,7 +528,7 @@ def feature_jacobian_batch(
     oh_n = (cam_idx[:, None] == jnp.arange(N)[None, :]).astype(dtype)
     if cfg.calib_cam_extrinsics:
         H_cth = _soa_mm(dz_dpC, _soa_skew(
-            jnp.einsum("ijm,jm->im", R_ItoC, p_FinI_fej)))
+            (R_ItoC * p_FinI_fej[None, :, :]).sum(1)))
         ext_blk = jnp.concatenate([to_fo(H_cth), to_fo(dz_dpC)], axis=-1)
         ext_cols = (ext_blk[:, :, :, None, :]
                     * oh_n[None, :, None, :, None]).reshape(F, O, 2, 6 * N)

@@ -219,16 +219,19 @@ def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
     # free slot for the i-th init: i-th free slam slot
     free_order = jnp.sort(jnp.where(~state.slam_valid, jnp.arange(L), L))
 
-    ctx0 = uh.obs_context(state, cfg, gobs.clone_slot[0], gobs.cam[0])
-
     def body(i, carry):
         st, n_done = carry
         ok = cand_ok[i] & tri_ok[i] & (n_done < n_free)
         slot = free_order[jnp.clip(n_done, 0, L - 1)]
         obs_i = jax.tree_util.tree_map(lambda a: a[i], gobs)
-        # ctx0 is hoisted: clone poses / calib never change inside this loop
+        # NO ctx hoist here: each candidate's leftover-rows EKF update
+        # moves the CLONE estimates via boxplus, and the reference
+        # sequential ordering re-linearizes candidate i+1 at candidate i's
+        # posterior — the context must be rebuilt from `st` per candidate
+        # (a frozen pre-loop context diverged the joint-vs-sequential
+        # equivalence by 4 cm).
         H_x, H_fg, res, row_mask = uh.feature_jacobian(
-            st, cfg, obs_i, p_f[i], p_f[i], ctx=ctx0
+            st, cfg, obs_i, p_f[i], p_f[i]
         )
         # non-xyz reps: anchor at the newest clone, cam 0; convert the
         # triangulated global point + global-landmark rows into λ space.
