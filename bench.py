@@ -204,6 +204,121 @@ def main(argv=None):
             "vs_baseline": round(agg_fps / 20.0, 2) if ens_healthy else 0.0,
         }))
 
+    # --- image front-end metrics (VERDICT r03 #2): rendered 752×480 STEREO
+    # at the reference rig scale, real KLT+RANSAC on device.  Two numbers:
+    # the front-end alone (the reference's CPU-hot half, TrackKLT.cpp:829-
+    # 886), and the full images→pose pipeline with the same health gating.
+    if not args.quick:
+        from open_vins_tpu.frontend import klt as klt_mod
+        from open_vins_tpu.ops import lie as lie_mod
+
+        stereo_R = lie_mod.exp_so3(jnp.asarray([-1.2, 1.2, -1.2]))
+        stereo_calib = (
+            jnp.tile(jnp.asarray([458.0, 458.0, 376.0, 240.0,
+                                  0.0, 0.0, 0.0, 0.0]), (2, 1)),
+            jnp.tile(stereo_R, (2, 1, 1)),
+            jnp.stack([jnp.asarray([0.0, -0.01, 0.02]),
+                       jnp.asarray([0.11, -0.01, 0.02])]),
+        )
+        rparams = simulator.SimParams(
+            imu_rate=200.0, cam_rate=20.0, num_cams=2, num_pts=200,
+            map_size=2048, duration=8.0, sigma_pix=0.0, start_offset=3.0,
+            width=752, height=480, min_depth=4.0, max_depth=9.0,
+        )
+        rsim = simulator.build(rparams, seed=0, traj=traj,
+                               calib=stereo_calib)
+        kparams = klt_mod.KltParams(num_features=200, num_pyr=4,
+                                    grid_x=20, grid_y=15)
+        n_track = 120
+        trk_fn = jax.jit(lambda s: runner.run_tracker_rendered(
+            s, rparams, kparams, n_track))
+        tstate, counts = trk_fn(rsim)
+        jax.block_until_ready(counts)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            tstate, counts = trk_fn(rsim)
+        jax.block_until_ready(counts)
+        klt_fps = (n_track - 1) / ((time.time() - t0) / reps)
+        mean_tracks = float(np.array(counts).mean())
+        # tracker must actually hold a real feature load (gate at half the
+        # stereo budget: 200 master + joined right-eye matches)
+        klt_ok = mean_tracks > 150.0
+        print(json.dumps({
+            "metric": "klt_track_frames_per_sec_1chip",
+            "value": round(klt_fps, 1) if klt_ok else 0.0,
+            "unit": f"frames/s (752x480 stereo, {mean_tracks:.0f} tracks/frame)",
+            "vs_baseline": round(klt_fps / 20.0, 2) if klt_ok else 0.0,
+        }))
+
+        rrun = runner.stage_run(rsim, rparams)
+        jax.block_until_ready(rrun.frames.uv)
+        rcfg = FilterConfig(max_clones=11, max_slam=25, num_cams=2,
+                            max_msckf_in_update=40, integration="analytical")
+        pipe_fn = jax.jit(lambda s, r: runner.run_filter_rendered(
+            rcfg, tri_opts, s, rparams, r, kparams, max_tracks=384))
+        (rstate, _, _), routs = pipe_fn(rsim, rrun)
+        jax.block_until_ready(rstate.cov)
+        rn_frames = simulator.n_cam_frames(rparams) - 1
+        t0 = time.time()
+        for _ in range(reps):
+            (rstate, _, _), routs = pipe_fn(rsim, rrun)
+        jax.block_until_ready(rstate.cov)
+        pipe_fps = rn_frames / ((time.time() - t0) / reps)
+        rps = np.array(routs[1])
+        rgt = np.array(rrun.gt_p)[1:]
+        r_rmse = float(np.sqrt(((rps - rgt) ** 2).sum(1).mean()))
+        r_ok = (np.isfinite(np.array(rstate.cov)).all()
+                and r_rmse < RMSE_GATE_M)
+        print(json.dumps({
+            "metric": "rendered_pipeline_frames_per_sec_1chip",
+            "value": round(pipe_fps, 1) if r_ok else 0.0,
+            "unit": f"frames/s (images->pose, rmse {r_rmse:.3f} m)",
+            "vs_baseline": round(pipe_fps / 20.0, 2) if r_ok else 0.0,
+        }))
+
+    # --- LARGE-MAP operating point (VERDICT r03 #3): 30 clones / 400 SLAM
+    # landmarks / 400 pts per cam — D ≈ 1400, the long-window dense-map
+    # regime where covariance row-sharding stops being overhead
+    # (tests/test_sharded_ekf.py pins sharded == dense at these shapes;
+    # docs/tpu-design.md carries the crossover analysis).  Form: "qr" —
+    # at k ≈ 1400 the factorization custom calls are panel-efficient while
+    # newton's ~44 k×k matmuls would dominate the frame.
+    if not args.quick:
+        lparams = simulator.SimParams(
+            imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=400,
+            map_size=4096, duration=8.0, sigma_pix=1.0 * args.noise_mult,
+            start_offset=3.0,
+        )
+        lcfg = FilterConfig(max_clones=30, max_slam=400, num_cams=1,
+                            max_msckf_in_update=40, max_obs_per_feature=30,
+                            integration="analytical", joint_update_form="qr")
+        lsim = simulator.build(lparams, seed=0, traj=traj)
+        lrun = runner.stage_run(lsim, lparams)
+        jax.block_until_ready(lrun.frames.uv)
+        lfil = jax.jit(lambda s, r: runner.run_filter(
+            lcfg, tri_opts, s, lparams, r, max_tracks=768))
+        lstate, louts = lfil(lsim, lrun)
+        jax.block_until_ready(lstate.cov)
+        ln = simulator.n_cam_frames(lparams) - 1
+        t0 = time.time()
+        for _ in range(reps):
+            lstate, louts = lfil(lsim, lrun)
+        jax.block_until_ready(lstate.cov)
+        l_fps = ln / ((time.time() - t0) / reps)
+        lps = np.array(louts[1])
+        lgt = np.array(lrun.gt_p)[1:]
+        l_rmse = float(np.sqrt(((lps - lgt) ** 2).sum(1).mean()))
+        l_ok = (np.isfinite(np.array(lstate.cov)).all()
+                and l_rmse < RMSE_GATE_M)
+        print(json.dumps({
+            "metric": "sim_vio_largemap_frames_per_sec_1chip",
+            "value": round(l_fps, 1) if l_ok else 0.0,
+            "unit": f"frames/s (D={lcfg.state_dim}, 400 slam, "
+                    f"rmse {l_rmse:.3f} m)",
+            "vs_baseline": round(l_fps / 20.0, 2) if l_ok else 0.0,
+        }))
+
     # --- headline, LAST line: closed-loop frames/s at full load
     reps = 1 if args.quick else 3
     t0 = time.time()

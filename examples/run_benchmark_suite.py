@@ -1,0 +1,326 @@
+#!/usr/bin/env python
+"""Replay the reference's shipped ov_data groundtruth corpus through the
+operating-point pipeline and emit the error_comparison-format results tree +
+per-sequence ATE/RPE table.
+
+The reference's regression story is scripted sweeps over EuRoC / TUM-VI /
+UZH-FPV (ov_msckf/scripts/run_ros_eth.sh:11-32, run_sim_featrep.sh) whose
+folders feed error_comparison.  This driver is the producer side for this
+build: every sequence in /root/reference/ov_data/{euroc_mav,tum_vi,uzhfpv_*}
+is replayed through the seeded simulator (sim front-end, sigma_pix = 1) at
+the REFERENCE OPERATING POINT (200 pts/cam, 11 clones, 50 SLAM, ≤40 MSCKF
+per update — estimator_config.yaml:25-28,84) and scored with the ov_eval
+metric stack (posyaw-aligned ATE, 8–48 m RPE, pose NEES).
+
+TPU-first design: every trajectory is padded to ONE fixed control-point
+grid (trajectories.load_trajectory_padded) and one fixed 180 s frame
+schedule, so the whole corpus shares a SINGLE compiled filter program —
+staging runs on the host CPU per sequence, the TPU compiles once and then
+replays each sequence in ~2 s.  Metrics are computed over each sequence's
+true (un-frozen) span only.
+
+Usage:
+  python examples/run_benchmark_suite.py [--out results/suite]
+      [--families euroc_mav,tum_vi,uzhfpv_indoor,...] [--quick] [--cpu]
+      [--seeds 1] [--align posyaw] [--accuracy ACCURACY.md]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DATA_DIR = "/root/reference/ov_data"
+
+# fixed replay schedule: 180 s @ 20 Hz cam / 200 Hz IMU, 3 s spline lead-in
+T_RUN = 180.0
+START_OFFSET = 3.0
+DT_CTRL = 0.05
+N_CTRL = int(round((START_OFFSET + T_RUN + 3.0) / DT_CTRL))  # 3720
+TAIL_MARGIN = 0.5  # s of freeze-transition excluded from scoring
+
+FAMILIES = {
+    "euroc_mav": ["MH_01_easy", "MH_02_easy", "MH_03_medium",
+                  "MH_04_difficult", "MH_05_difficult", "V1_01_easy",
+                  "V1_02_medium", "V1_03_difficult", "V2_01_easy",
+                  "V2_02_medium", "V2_03_difficult"],
+    "tum_vi": ["dataset-room1_512_16", "dataset-room2_512_16",
+               "dataset-room3_512_16", "dataset-room4_512_16",
+               "dataset-room5_512_16", "dataset-room6_512_16"],
+    "uzhfpv_indoor": ["indoor_forward_3_snapdragon_with_gt",
+                      "indoor_forward_5_snapdragon_with_gt",
+                      "indoor_forward_6_snapdragon_with_gt",
+                      "indoor_forward_7_snapdragon_with_gt",
+                      "indoor_forward_9_snapdragon_with_gt",
+                      "indoor_forward_10_snapdragon_with_gt"],
+    "uzhfpv_indoor_45": ["indoor_45_2_snapdragon_with_gt",
+                         "indoor_45_4_snapdragon_with_gt",
+                         "indoor_45_12_snapdragon_with_gt",
+                         "indoor_45_13_snapdragon_with_gt",
+                         "indoor_45_14_snapdragon_with_gt"],
+    "uzhfpv_outdoor": ["outdoor_forward_1_snapdragon_with_gt",
+                       "outdoor_forward_3_snapdragon_with_gt",
+                       "outdoor_forward_5_snapdragon_with_gt"],
+    "uzhfpv_outdoor_45": ["outdoor_45_1_snapdragon_with_gt"],
+}
+
+# the reference's published mono EuRoC rows (docs/eval-error.dox:244-253,
+# deg / m posyaw ATE) — the band this build must sit at or under
+REFERENCE_PUBLISHED = {
+    "mono_ov_slam": {"V1_01_easy": (0.699, 0.058), "V1_02_medium": (1.675, 0.076),
+                     "V1_03_difficult": (2.542, 0.063), "V2_01_easy": (0.773, 0.124),
+                     "V2_02_medium": (1.538, 0.074)},
+    "mono_ov_vio": {"V1_01_easy": (0.642, 0.076), "V1_02_medium": (1.766, 0.096),
+                    "V1_03_difficult": (2.391, 0.344), "V2_01_easy": (1.164, 0.121),
+                    "V2_02_medium": (1.248, 0.106)},
+}
+
+
+def sequence_paths(families):
+    out = []
+    for fam in families:
+        for name in FAMILIES[fam]:
+            p = os.path.join(DATA_DIR, fam, name + ".txt")
+            if os.path.exists(p):
+                out.append((fam, name, p))
+            else:
+                print(f"[suite] missing: {p}", file=sys.stderr)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/suite")
+    ap.add_argument("--families", default=",".join(FAMILIES))
+    ap.add_argument("--quick", action="store_true",
+                    help="V1_01 + room1 + indoor_forward_5 only")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--align", default="posyaw")
+    ap.add_argument("--accuracy", default="",
+                    help="write the ACCURACY.md table to this path")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import open_vins_tpu  # noqa: F401
+    from open_vins_tpu.core.layout import FilterConfig
+    from open_vins_tpu.eval import metrics, traj_io
+    from open_vins_tpu.models import runner
+    from open_vins_tpu.models import triangulation as tri
+    from open_vins_tpu.ops import lie
+    from open_vins_tpu.sim import simulator, trajectories
+
+    params = simulator.SimParams(
+        imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=200,
+        map_size=2048, duration=T_RUN, sigma_pix=1.0,
+        start_offset=START_OFFSET,
+    )
+    cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1,
+                       max_msckf_in_update=40, integration="analytical")
+    tri_opts = tri.TriangulationOptions()
+
+    families = [f for f in args.families.split(",") if f]
+    seqs = sequence_paths(families)
+    if args.quick:
+        keep = {"V1_01_easy", "dataset-room1_512_16",
+                "indoor_forward_5_snapdragon_with_gt"}
+        seqs = [s for s in seqs if s[1] in keep]
+    if not seqs:
+        print("no sequences found")
+        return 1
+
+    cpu0 = jax.devices("cpu")[0]
+    dev0 = jax.devices()[0]
+    on_tpu = dev0.platform != "cpu"
+
+    # staging program (host CPU, one compile, reused for every sequence)
+    with jax.default_device(cpu0):
+        stage = jax.jit(runner.stage_run, static_argnums=1)
+
+    # the ONE filter program every sequence runs through
+    fil = jax.jit(lambda sim, run: runner.run_filter(
+        cfg, tri_opts, sim, params, run, max_tracks=384))
+
+    os.makedirs(os.path.join(args.out, "truths"), exist_ok=True)
+    n_frames = simulator.n_cam_frames(params) - 1
+    results = []
+    compiled = False
+    for fam, name, path in seqs:
+        for seed in range(args.seeds):
+            t_host0 = time.time()
+            traj, valid = trajectories.load_trajectory_padded(path, N_CTRL,
+                                                              dt=DT_CTRL)
+            valid_motion = valid - START_OFFSET - TAIL_MARGIN
+            n_valid = min(int(valid_motion * params.cam_rate), n_frames)
+            if n_valid < 100:
+                print(f"[suite] {fam}/{name}: too short ({valid:.0f}s), skip")
+                continue
+            build_params = params._replace(
+                map_duration=min(valid_motion, T_RUN))
+            with jax.default_device(cpu0):
+                sim = simulator.build(build_params, seed=seed, traj=traj)
+                run = stage(sim, params)
+                jax.block_until_ready(run.frames.uv)
+            t_stage = time.time() - t_host0
+            if on_tpu:
+                sim = jax.device_put(sim, dev0)
+                run = jax.device_put(run, dev0)
+
+            t0 = time.time()
+            state, outs = fil(sim, run)
+            jax.block_until_ready(state.cov)
+            t_first = time.time() - t0
+            if not compiled:
+                compiled = True
+                print(f"[suite] filter program compiled+ran in {t_first:.0f}s "
+                      f"(one compile for the whole corpus)")
+            t0 = time.time()
+            state, outs = fil(sim, run)
+            jax.block_until_ready(state.cov)
+            t_run = time.time() - t0
+            fps = n_frames / t_run
+
+            qs, ps, vs, covs6, diag = outs
+            sl = slice(0, n_valid)
+            ps_v = np.array(ps)[sl]
+            qs_v = np.array(qs)[sl]
+            gt_p = np.array(run.gt_p)[1:][sl]
+            gt_q = np.array(run.gt_q)[1:][sl]
+            cov6 = np.array(covs6)[sl]
+            R_est = np.array(jax.vmap(lie.quat_2_rot)(jnp.asarray(qs_v)))
+            R_gt = np.array(jax.vmap(lie.quat_2_rot)(jnp.asarray(gt_q)))
+            # TUM convention wants body-to-global
+            R_est_b2g = np.swapaxes(R_est, -1, -2)
+            R_gt_b2g = np.swapaxes(R_gt, -1, -2)
+
+            o_stats, p_stats = metrics.ate(ps_v, R_est_b2g, gt_p, R_gt_b2g,
+                                           method=args.align)
+            o_se3, p_se3 = metrics.ate(ps_v, R_est_b2g, gt_p, R_gt_b2g,
+                                       method="se3")
+            rpe_tab = metrics.rpe(ps_v, R_est_b2g, gt_p, R_gt_b2g)
+            st_o, st_p, _ = metrics.nees(ps_v, R_est, gt_p, R_gt, cov6)
+            finite = bool(np.isfinite(np.array(state.cov)).all())
+
+            ts = (np.arange(n_valid) + 1) / params.cam_rate
+            ds_dir = os.path.join(args.out, "algorithms", "ovt_sim", name)
+            os.makedirs(ds_dir, exist_ok=True)
+            traj_io.save_tum(os.path.join(ds_dir, f"run{seed}.txt"), ts, ps_v,
+                             traj_io.rot_to_quat_xyzw(R_est_b2g))
+            if seed == 0:
+                traj_io.save_tum(os.path.join(args.out, "truths",
+                                              name + ".txt"),
+                                 ts, gt_p, traj_io.rot_to_quat_xyzw(R_gt_b2g))
+
+            rec = {
+                "family": fam, "dataset": name, "seed": seed,
+                "valid_s": round(valid_motion, 1), "n_frames": n_valid,
+                "ate_deg": round(o_stats.rmse, 3),
+                "ate_m": round(p_stats.rmse, 4),
+                "ate_se3_m": round(p_se3.rmse, 4),
+                "rpe": {str(int(L)): [round(s[0].rmse, 3), round(s[1].rmse, 3)]
+                        for L, s in rpe_tab.items()},
+                "nees_pos": round(st_p.mean, 2),
+                "nees_ori": round(st_o.mean, 2),
+                "fps": round(fps, 1), "stage_s": round(t_stage, 1),
+                "finite": finite, "align": args.align,
+            }
+            results.append(rec)
+            print(f"[suite] {fam}/{name} seed{seed}: ATE {rec['ate_deg']:.3f} "
+                  f"deg / {rec['ate_m']:.3f} m ({args.align}), se3 "
+                  f"{rec['ate_se3_m']:.3f} m, NEES p{rec['nees_pos']:.1f}/"
+                  f"o{rec['nees_ori']:.1f}, {valid_motion:.0f}s, "
+                  f"{fps:.0f} fps" + ("" if finite else "  ** NON-FINITE **"))
+
+    out_json = os.path.join(args.out, "SUITE_RESULTS.json")
+    with open(out_json, "w") as f:
+        json.dump({"operating_point": "200pts/11clones/50slam/40msckf "
+                                      "mono sigma_pix=1",
+                   "align": args.align, "results": results}, f, indent=1)
+    print(f"[suite] wrote {out_json} ({len(results)} runs)")
+
+    if args.accuracy:
+        write_accuracy(args.accuracy, results, args.align)
+        print(f"[suite] wrote {args.accuracy}")
+    return 0
+
+
+def write_accuracy(path, results, align):
+    import numpy as np
+
+    by_fam = {}
+    for r in results:
+        if r["seed"] == 0:
+            by_fam.setdefault(r["family"], []).append(r)
+
+    lines = [
+        "# ACCURACY — per-sequence replay of the reference's ov_data corpus",
+        "",
+        "Every groundtruth trajectory the reference ships "
+        "(`/root/reference/ov_data/{euroc_mav,tum_vi,uzhfpv_*}`) replayed "
+        "through the operating-point pipeline (200 pts/cam, 11 clones, 50 "
+        "SLAM, ≤40 MSCKF/update, mono, σ_pix = 1) via the seeded simulator "
+        "front-end (TrackSIM role), scored with the ov_eval metric stack. "
+        f"ATE alignment: **{align}** (the reference's VIO default). "
+        "Produced by `examples/run_benchmark_suite.py`; raw folders in "
+        "`results/suite/` feed `examples/error_comparison.py`.",
+        "",
+        "Method note: the reference's published table "
+        "(`docs/eval-error.dox:244-253`) is real-sensor EuRoC data through "
+        "the image front-end; these rows replay the SAME trajectories with "
+        "matched IMU/pixel noise through the simulator front-end (the "
+        "reference's own run_simulation regression methodology), so they "
+        "measure estimator accuracy on identical motion, not image-tracking "
+        "robustness.  Rendered-image closed loops are covered separately "
+        "(tests/test_rendered_pipeline.py and the bench KLT metrics).",
+        "",
+    ]
+    for fam, rows in by_fam.items():
+        lines.append(f"## {fam}")
+        lines.append("")
+        lines.append("| sequence | span (s) | ATE deg / m | ATE se3 m | "
+                     "RPE 8m deg/m | RPE 48m deg/m | pose NEES (p/o) | fps (1 chip) |")
+        lines.append("|---|---|---|---|---|---|---|---|")
+        for r in rows:
+            rpe8 = r["rpe"].get("8", ["-", "-"])
+            rpe48 = r["rpe"].get("48", ["-", "-"])
+            lines.append(
+                f"| {r['dataset']} | {r['valid_s']} | "
+                f"{r['ate_deg']:.3f} / {r['ate_m']:.3f} | "
+                f"{r['ate_se3_m']:.3f} | {rpe8[0]} / {rpe8[1]} | "
+                f"{rpe48[0]} / {rpe48[1]} | "
+                f"{r['nees_pos']:.1f} / {r['nees_ori']:.1f} | {r['fps']:.0f} |")
+        avg_m = np.mean([r["ate_m"] for r in rows])
+        avg_d = np.mean([r["ate_deg"] for r in rows])
+        lines.append(f"| **average** |  | **{avg_d:.3f} / {avg_m:.3f}** |  |  |  |  |  |")
+        lines.append("")
+
+    lines += [
+        "## Reference published rows (real-sensor mono EuRoC, posyaw ATE "
+        "deg / m — docs/eval-error.dox:244-253)",
+        "",
+        "| algorithm | V1_01 | V1_02 | V1_03 | V2_01 | V2_02 | average |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for algo, row in REFERENCE_PUBLISHED.items():
+        cells = " | ".join(f"{d:.3f} / {m:.3f}" for d, m in row.values())
+        avg_d = np.mean([d for d, _ in row.values()])
+        avg_m = np.mean([m for _, m in row.values()])
+        lines.append(f"| {algo} | {cells} | {avg_d:.3f} / {avg_m:.3f} |")
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -342,7 +342,9 @@ def newton_inverse(A, iters=22, refine=0):
 
 
 def kalman_update_math_newton(cov, H, res, ranges, iters=22,
-                              return_gamma=False):
+                              return_gamma=False, return_resid=False,
+                              polish_tol=1e-3, max_polish=6,
+                              noop_tol=5e-2):
     """Push-through (Woodbury) update with the k×k inverse from
     `newton_inverse` — the CUSTOM-CALL-FREE joint vision update.
 
@@ -350,9 +352,23 @@ def kalman_update_math_newton(cov, H, res, ranges, iters=22,
     no jitter anywhere: A = I + G·P_ss has eigenvalues ≥ 1), with the
     pivoted LU replaced by batched-matmul Newton inversion, so the whole
     update is MXU work that vmaps efficiently across ensemble streams.
-    One extra iterative-refinement step on the applied solve
-    (W ← W + X(B − A W)) polishes the directions the update actually uses.
     H must be row-whitened; zero rows are exact no-ops.
+
+    Convergence policy (iters/σ): the fixed ``iters`` sweep of
+    `newton_inverse` covers σ = ‖A‖_F ≤ 2^iters/16 (2.6e5 at the default
+    22).  The applied solve XB is then POLISHED with iterative refinement
+    W ← W + X(B − A·W) inside a `lax.while_loop`: the first sweep always
+    runs (it is the accuracy-bearing refinement), and extra sweeps fire
+    only while the relative residual ‖B − A·W‖∞/‖B‖∞ exceeds
+    ``polish_tol`` (each sweep contracts the error by ρ(I−AX), which is
+    < 1 for any σ ≥ λmax, so moderately out-of-regime σ self-corrects at
+    a cost only paid when needed; under vmap, converged streams ride
+    along).  If after ``max_polish`` sweeps the residual still exceeds
+    ``noop_tol`` — or anything is non-finite — the update degrades to an
+    exact NO-OP rather than injecting a wrong dx/covariance, and the
+    returned residual (see ``return_resid``) makes the event visible in
+    `StepDiag.newton_resid`.  A converged call costs exactly the same
+    3 large matmuls as the fixed-1-sweep version did.
     """
     from open_vins_tpu.models.update_helper import take_cols
     from open_vins_tpu.ops.pallas_kernels import symmetric_downdate
@@ -366,28 +382,57 @@ def kalman_update_math_newton(cov, H, res, ranges, iters=22,
     A = jnp.eye(G.shape[0], dtype=cov.dtype) + G @ P_ss
     X = newton_inverse(A, iters=iters)
     B = jnp.concatenate([G @ P_cols.T, g[:, None]], axis=1)  # [k, D+1]
-    XB = X @ B
-    XB = XB + X @ (B - A @ XB)            # one refinement sweep
-    # NaN-kill convention: a non-finite solve must degrade to a no-op
-    # update, never escape into the state/covariance.
-    ok = jnp.all(jnp.isfinite(XB))
+    denom = jnp.max(jnp.abs(B)) + jnp.asarray(1e-30, cov.dtype)
+
+    def sweep(c):
+        W, _, j = c
+        r = B - A @ W
+        rr = jnp.max(jnp.abs(r)) / denom
+        # NaN-kill inside the loop: a non-finite residual must not spin
+        # the loop to max_polish on garbage — report rr=inf and freeze W
+        bad = ~jnp.isfinite(rr)
+        rr = jnp.where(bad, jnp.inf, rr)
+        W_next = jnp.where(bad, W, W + X @ r)
+        return (W_next, rr, j + 1)
+
+    carry = sweep((X @ B, jnp.asarray(jnp.inf, cov.dtype), 0))
+
+    def cond(c):
+        _, rr, j = c
+        return jnp.isfinite(rr) & (rr > polish_tol) & (j < max_polish)
+
+    XB, resid_rel, _ = jax.lax.while_loop(cond, sweep, carry)
+    # resid_rel is the residual BEFORE the final sweep — an upper bound on
+    # the applied solve's residual (refinement is monotone for this A).
+    # NaN-kill convention: a non-finite or non-converged solve must degrade
+    # to a no-op update, never escape into the state/covariance.
+    ok = jnp.all(jnp.isfinite(XB)) & (resid_rel < noop_tol)
     XB = jnp.where(ok, XB, 0.0)
     W, y = XB[:, :D], XB[:, D]
     dx = P_cols @ y
     new_cov = symmetric_downdate(cov, P_cols, W.T)
+    out = (dx, new_cov)
     if return_gamma:
         gamma = res @ res - g @ (P_ss @ (X @ g))
-        return dx, new_cov, gamma
-    return dx, new_cov
+        out = out + (gamma,)
+    if return_resid:
+        out = out + (resid_rel,)
+    return out
 
 
 def ekf_update_newton(state: VioState, cfg: FilterConfig, H, res,
-                      ranges) -> VioState:
+                      ranges, return_resid=False):
     """`ekf_update` via the Newton push-through form (see
-    kalman_update_math_newton); H row-whitened, zero rows exact no-ops."""
-    dx, cov = kalman_update_math_newton(state.cov, H, res, ranges)
-    new_state = boxplus(state, cfg, dx)
-    return new_state._replace(cov=cov)
+    kalman_update_math_newton); H row-whitened, zero rows exact no-ops.
+    With ``return_resid`` also returns the solve's relative residual for
+    diagnostics (`StepDiag.newton_resid`)."""
+    out = kalman_update_math_newton(state.cov, H, res, ranges,
+                                    return_resid=return_resid)
+    dx, cov = out[0], out[1]
+    new_state = boxplus(state, cfg, dx)._replace(cov=cov)
+    if return_resid:
+        return new_state, out[2]
+    return new_state
 
 
 def kalman_update_math_spd(cov, H, res, ranges):

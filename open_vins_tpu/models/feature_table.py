@@ -72,13 +72,14 @@ def mask_bool(table: FeatureTable) -> jax.Array:
 
 
 def obs_bit(table: FeatureTable, rows, slot, cam):
-    """Valid-observation bits for table rows at (slot, cam) — all of
-    `rows`, `slot`, `cam` may be traced arrays (broadcast together).
-    Replaces `table.mask[rows, slot, cam]` gathers with a row gather plus
-    elementwise shifts."""
+    """Valid-observation bits for table rows at (slot, cam) — `rows`,
+    `slot`, `cam` may be traced arrays (broadcast together) or python
+    ints.  Replaces `table.mask[rows, slot, cam]` gathers with a row
+    gather plus elementwise shifts (consumer: updater_zupt.frame_disparity)."""
     T, N = table.mbits.shape
     rr = jnp.clip(rows, 0, T - 1)
     bits_r = table.mbits[rr]  # [..., N]
+    cam = jnp.asarray(cam, jnp.int32)
     cam_oh = jnp.arange(N, dtype=jnp.int32) == cam[..., None]
     word = jnp.sum(jnp.where(cam_oh, bits_r, 0), axis=-1)
     return ((word >> slot) & 1) > 0
@@ -109,8 +110,9 @@ def ingest_frame(
     7.7% of the whole device program); the one-hot form is a [T,P] matmul
     plus elementwise selects, which XLA fuses and vmaps at ~zero marginal
     cost.  Per-frame ids are assumed unique per camera (the trackers and
-    the simulator guarantee it); duplicate ids would average instead of
-    last-write-win.
+    the simulator guarantee it); if a tracker ever emits a duplicate id,
+    the contraction is normalized by the per-row hit count so duplicates
+    degrade to their AVERAGE (not an out-of-range sum).
     """
     T = table.ids.shape[0]
     C = table.uv.shape[1]
@@ -145,8 +147,11 @@ def ingest_frame(
         W = eq | alloc_hit                      # [T, P] row t ← measurement p
         Wf = W.astype(table.uv.dtype)
         row_any = jnp.any(W, axis=1)            # [T]
-        uv_t = Wf @ uv[cam]                     # [T, 2] (unique-id exact)
-        uvn_t = Wf @ uvn[cam]
+        # normalize by hit count: exact for unique ids (hits ∈ {0,1}),
+        # averages if a tracker ever emits duplicate ids for one camera
+        inv_hits = 1.0 / jnp.maximum(jnp.sum(Wf, axis=1), 1.0)  # [T]
+        uv_t = (Wf @ uv[cam]) * inv_hits[:, None]   # [T, 2]
+        uvn_t = (Wf @ uvn[cam]) * inv_hits[:, None]
         id_t = jnp.max(jnp.where(W, cam_ids[None, :], -1), axis=1)  # [T]
 
         sel = row_any[:, None] & slot_onehot[None, :]  # [T, C]

@@ -54,6 +54,12 @@ class StepDiag(NamedTuple):
     chi2_mean: jax.Array
     n_slam: jax.Array  # active SLAM landmarks
     n_slam_used: jax.Array  # landmarks updated this frame
+    # relative residual ‖B − A·W‖∞/‖B‖∞ of the newton joint-update solve
+    # (0 when the frame used another form / no update ran).  Values near
+    # the polish tolerance (1e-3) are healthy; values ≥ the no-op gate
+    # (5e-2) mean the update degraded to a no-op — a silently
+    # under-converged inverse can no longer enter the filter unobserved.
+    newton_resid: jax.Array | float = 0.0
 
 
 def gather_feature_obs(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
@@ -231,6 +237,7 @@ def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
         / jnp.maximum(jnp.sum(feat_ok), 1),
         n_slam=jnp.asarray(0, jnp.int32),
         n_slam_used=jnp.asarray(0, jnp.int32),
+        newton_resid=jnp.asarray(0.0, H_c.dtype),
     )
     return H_c, res_c, ranges, table, diag
 
@@ -275,6 +282,7 @@ def step_frame(state: VioState, table: ft.FeatureTable, cfg: FilterConfig,
                 chi2_mean=jnp.asarray(0.0, state.cov.dtype),
                 n_slam=jnp.sum(zupt_state.slam_valid.astype(jnp.int32)),
                 n_slam_used=jnp.asarray(0, jnp.int32),
+                newton_resid=jnp.asarray(0.0, state.cov.dtype),
             )
             return zupt_state, table, d
 
@@ -347,7 +355,9 @@ def _step_frame_core(state: VioState, table: ft.FeatureTable,
             # push-through with batched-matmul Newton inversion — zero
             # factorization custom calls, scales across vmapped ensemble
             # streams — see core/ekf.kalman_update_math_newton
-            state = ekf.ekf_update_newton(state, cfg, H, res, ranges)
+            state, nres = ekf.ekf_update_newton(state, cfg, H, res, ranges,
+                                                return_resid=True)
+            diag = diag._replace(newton_resid=nres)
         else:
             D = cfg.state_dim
             H, res = uh.compress_system_ranges(H, res, ranges, D)

@@ -101,3 +101,101 @@ def run_filter(cfg: FilterConfig, tri_opts: tri.TriangulationOptions,
 def _rot2q(R):
     from open_vins_tpu.ops import lie
     return lie.rot_2_quat(R)
+
+
+def _render_and_track(tstate, sim, params, klt_params, k, first,
+                      hist_method):
+    """Render every camera at frame k and run the real KLT front-end.
+
+    Returns (tstate, ids [N,P], uv, uvn, mask) in FrameInput layout."""
+    import jax.numpy as jnp
+
+    from open_vins_tpu.frontend import tracker as tracker_mod
+    from open_vins_tpu.sim import render
+
+    imgs = jnp.stack([
+        render.render_frame(sim, params, k, cam=c)
+        for c in range(params.num_cams)
+    ])
+    if params.num_cams >= 2:
+        return tracker_mod.track_frame_multi(
+            tstate, imgs, sim.cam_intr, klt_params,
+            cam_model=params.cam_model, first_frame=first,
+            hist_method=hist_method)
+    tstate, ids, uv, uvn, mask = tracker_mod.track_frame(
+        tstate, imgs[0], sim.cam_intr[0], klt_params,
+        cam_model=params.cam_model, first_frame=first,
+        hist_method=hist_method)
+    return tstate, ids[None], uv[None], uvn[None], mask[None]
+
+
+def run_filter_rendered(cfg: FilterConfig, tri_opts: tri.TriangulationOptions,
+                        sim, params, run: SimRun, klt_params,
+                        max_tracks: int = 256, hist_method: str = "STRETCH"):
+    """Full images→pose pipeline as ONE device program.
+
+    Each scan step renders the persistent map into synthetic camera frames
+    (sim/render.py — two MXU matmuls per camera), tracks them with the real
+    pyramidal-KLT front-end + fundamental RANSAC (frontend/tracker.py — the
+    TrackKLT::feed_new_camera role, TrackKLT.cpp:34-201), and feeds the
+    tracker packets to the estimator.  This is the TPU-native analog of the
+    reference's serial image replay (ros1_serial_msckf.cpp:210-278): the
+    whole images→pose chain runs on-device with zero host round-trips, so
+    its frames/s is an honest single-chip full-pipeline number.
+
+    Returns (final (state, table, tracker_state), per-frame outs) — outs as
+    in `run_filter`.
+    """
+    from open_vins_tpu.frontend import tracker as tracker_mod
+
+    state = manager.initialize_from_gt(
+        cfg, run.gt_q[0], run.gt_p[0], run.gt_v[0],
+        sim.bias_g_traj[0], sim.bias_a_traj[0], jnp.asarray(0.0),
+        calib_ext_q=jax.vmap(_rot2q)(sim.cam_R_ItoC),
+        calib_ext_p=sim.cam_p_IinC,
+        calib_intr=sim.cam_intr,
+    )
+    table = ft.init_table(cfg, max_tracks)
+    tstate = tracker_mod.init_tracker(params.height, params.width,
+                                      klt_params.num_features)
+    # prime the tracker on frame 0 (the init anchor frame)
+    tstate, *_ = _render_and_track(tstate, sim, params, klt_params,
+                                   jnp.asarray(0), True, hist_method)
+
+    n_steps = run.frames.t_new.shape[0]
+
+    def body(carry, inp):
+        st, tb, trk = carry
+        fr, k = inp
+        trk, ids, uv, uvn, mask = _render_and_track(
+            trk, sim, params, klt_params, k, False, hist_method)
+        fr = fr._replace(ids=ids, uv=uv, uvn=uvn, mask=mask)
+        st, tb, diag = manager.step_frame(st, tb, cfg, tri_opts, fr)
+        out = (st.q, st.p, st.v, st.cov[:6, :6], diag)
+        return (st, tb, trk), out
+
+    (state, table, tstate), outs = jax.lax.scan(
+        body, (state, table, tstate),
+        (run.frames, jnp.arange(1, n_steps + 1)))
+    return (state, table, tstate), outs
+
+
+def run_tracker_rendered(sim, params, klt_params, n_frames: int,
+                         hist_method: str = "STRETCH"):
+    """Front-end-only scan: render + KLT-track `n_frames` frames (no
+    filter).  Returns (final tracker state, per-frame track counts) — the
+    measurement unit for the `klt_track_frames_per_sec_1chip` bench metric
+    (the reference's CPU-hot half, TrackKLT.cpp:829-886)."""
+    from open_vins_tpu.frontend import tracker as tracker_mod
+
+    tstate = tracker_mod.init_tracker(params.height, params.width,
+                                      klt_params.num_features)
+    tstate, *_ = _render_and_track(tstate, sim, params, klt_params,
+                                   jnp.asarray(0), True, hist_method)
+
+    def body(trk, k):
+        trk, ids, uv, uvn, mask = _render_and_track(
+            trk, sim, params, klt_params, k, False, hist_method)
+        return trk, jnp.sum(mask.astype(jnp.int32))
+
+    return jax.lax.scan(body, tstate, jnp.arange(1, n_frames))

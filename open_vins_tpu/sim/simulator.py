@@ -56,6 +56,11 @@ class SimParams(NamedTuple):
     # the platform has MOVED this many meters of accumulated path — the
     # reference's skip-until-motion start logic (Simulator.cpp:80-109,
     # sim_distance_threshold); 0 keeps the fixed start_offset behavior
+    map_duration: float = 0.0  # >0: sample the persistent feature map only
+    # over the first map_duration seconds of the run.  Used by padded
+    # trajectory replays (run_benchmark_suite): the tail of a padded run is
+    # a frozen end pose, and sampling map rays there would concentrate half
+    # the map at one viewpoint.  0 keeps map sampling over the full duration
 
 
 class SimData(NamedTuple):
@@ -199,8 +204,9 @@ def build(
     # --- persistent feature map: sample camera poses along the run, cast rays
     M = params.map_size
     k1, k2, k3, k4 = jax.random.split(k_map, 4)
+    map_dur = params.map_duration if params.map_duration > 0.0 else params.duration
     ts = jax.random.uniform(
-        k1, (M,), minval=t_start, maxval=t_start + params.duration
+        k1, (M,), minval=t_start, maxval=t_start + map_dur
     )
     cam_idx = jax.random.randint(k2, (M,), 0, params.num_cams)
     u = jax.random.uniform(k3, (M, 2)) * jnp.asarray(

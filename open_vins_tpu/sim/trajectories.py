@@ -2,12 +2,17 @@
 
 Capability parity with the reference's DatasetReader::load_simulated_trajectory
 (ov_core/src/utils/dataset_reader.h:177-247) + BsplineSE3::feed_trajectory
-re-gridding (BsplineSE3.cpp:26-60): rows are
-``timestamp p_IinG(3) q_GtoI(4, JPL xyzw)``, poses become uniform control
-points at the average input rate (clamped to >= 0.05 s).
+re-gridding (BsplineSE3.cpp:27-100): rows are
+``timestamp p_IinG(3) q_GtoI(4, JPL xyzw)``; control points are sampled on a
+UNIFORM grid over the file's true timeline at dt = max(mean Δt, 0.05) s, with
+each control pose linearly interpolated from its bounding rows (the
+reference's find_bounding_poses + interpolation walk) — so a 200 Hz
+groundtruth file (EuRoC MH/V*, TUM-VI, UZH-FPV) keeps its true speed while
+the spline stays at a tractable control density.
 
-The reference repo ships these files in ov_data/ (udel_gore, euroc_V1_01_easy,
-tum_corridor1, ...); pass any of them here to simulate realistic motion.
+The reference repo ships these files in ov_data/ (udel_gore, the full EuRoC
+euroc_mav/ set, tum_vi/ rooms, uzhfpv_*); pass any of them here to simulate
+realistic motion.
 """
 
 from __future__ import annotations
@@ -18,32 +23,74 @@ import jax.numpy as jnp
 from open_vins_tpu.ops import lie
 
 REFERENCE_SIM_DIR = "/root/reference/ov_data/sim"
+REFERENCE_DATA_DIR = "/root/reference/ov_data"
 
 
-def load_trajectory_file(path):
-    """Parse a sim trajectory file -> (times [N], R_ItoG [N,3,3], p [N,3]).
-
-    Times are shifted to start at 0 and re-gridded uniformly (the reference
-    treats the poses as uniform control points at the average rate).
-    """
+def _read_rows(path):
     rows = []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            parts = line.split()
+            parts = line.replace(",", " ").split()
             if len(parts) < 8:
                 continue
             rows.append([float(x) for x in parts[:8]])
     arr = np.asarray(rows, dtype=np.float64)
     if len(arr) < 8:
         raise ValueError(f"trajectory too short: {path}")
-    t = arr[:, 0]
-    p = arr[:, 1:4]
-    q_GtoI = arr[:, 4:8]  # JPL xyzw
-    dt = max(float(np.mean(np.diff(t))), 0.05)
-    times = jnp.asarray(np.arange(len(arr)) * dt, dtype=jnp.float32)
+    return arr[:, 0], arr[:, 1:4], arr[:, 4:8]  # t, p, q_GtoI (JPL xyzw)
+
+
+def _interp_poses(t, p, q, grid):
+    """Linearly interpolate positions + (sign-aligned, normalized) quaternions
+    at the grid times; clamps outside [t[0], t[-1]] (frozen end poses)."""
+    idx = np.clip(np.searchsorted(t, grid, side="right") - 1, 0, len(t) - 2)
+    t0, t1 = t[idx], t[idx + 1]
+    lam = np.clip((grid - t0) / np.maximum(t1 - t0, 1e-9), 0.0, 1.0)
+    p_out = (1.0 - lam)[:, None] * p[idx] + lam[:, None] * p[idx + 1]
+    q0, q1 = q[idx], q[idx + 1]
+    q1 = q1 * np.where(np.sum(q0 * q1, axis=1) < 0.0, -1.0, 1.0)[:, None]
+    q_out = (1.0 - lam)[:, None] * q0 + lam[:, None] * q1
+    q_out /= np.maximum(np.linalg.norm(q_out, axis=1, keepdims=True), 1e-12)
+    return p_out, q_out
+
+
+def _to_traj(times_rel, p, q_GtoI):
     R_GtoI = lie.quat_2_rot(jnp.asarray(q_GtoI, dtype=jnp.float32))
     R_ItoG = jnp.swapaxes(R_GtoI, -1, -2)
-    return times, R_ItoG, jnp.asarray(p, dtype=jnp.float32)
+    return (jnp.asarray(times_rel, dtype=jnp.float32), R_ItoG,
+            jnp.asarray(p, dtype=jnp.float32))
+
+
+def load_trajectory_file(path):
+    """Parse a trajectory file -> (times [K], R_ItoG [K,3,3], p [K,3]).
+
+    Times are shifted to start at 0; control poses sit on a uniform grid
+    over the TRUE timeline at dt = max(mean Δt, 0.05) s (reference
+    BsplineSE3 control density), interpolated from the bounding rows.
+    """
+    t, p, q = _read_rows(path)
+    dt = max(float(np.mean(np.diff(t))), 0.05)
+    n = int(np.floor((t[-1] - t[0]) / dt)) + 1
+    grid = t[0] + np.arange(n) * dt
+    p_g, q_g = _interp_poses(t, p, q, grid)
+    return _to_traj(np.arange(n) * dt, p_g, q_g)
+
+
+def load_trajectory_padded(path, n_ctrl, dt=0.05):
+    """Like `load_trajectory_file`, but with EXACTLY `n_ctrl` control points
+    at fixed spacing `dt` — grid times beyond the file's end freeze at the
+    final pose (zero velocity, consistent IMU = pure gravity).
+
+    This gives every trajectory file identical spline shapes, so one jitted
+    filter program (and ONE TPU compile) replays the entire ov_data corpus.
+    Returns (traj, valid_duration_s) where valid_duration_s is the span of
+    real (un-frozen) motion.
+    """
+    t, p, q = _read_rows(path)
+    grid = t[0] + np.arange(n_ctrl) * dt
+    p_g, q_g = _interp_poses(t, p, q, grid)
+    valid = float(min(t[-1] - t[0], (n_ctrl - 1) * dt))
+    return _to_traj(np.arange(n_ctrl) * dt, p_g, q_g), valid

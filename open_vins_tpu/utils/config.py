@@ -140,7 +140,6 @@ class VioConfig(NamedTuple):
     tracker: TrackerConfig = TrackerConfig()
     init: InitConfig = InitConfig()
     output: OutputConfig = OutputConfig()
-    max_slam_in_update: int = 25
     tri: TriangulationOptions = TriangulationOptions()
 
 
@@ -151,6 +150,12 @@ _OUT_OF_SCOPE = {
     "num_opencv_threads": "host threading is the native hub's concern",
     "init_dyn_mle_max_time": "jit MLE runs fixed iterations, not wall-time",
     "init_dyn_mle_max_threads": "device-parallel MLE, no host threads",
+    # The reference caps SLAM features per sequential update to bound the
+    # O(m^3) chunk cost (UpdaterSLAM.cpp delayed/update batching).  This
+    # build applies ALL active landmarks in ONE stacked update whose cost
+    # is bounded by the static (max_slam, max_clones) layout — a cap would
+    # only mask measurements, so the key is deliberately not consumed.
+    "max_slam_in_update": "stacked SLAM update makes the cap unnecessary",
 }
 
 
@@ -383,7 +388,6 @@ def load(config_path: str, warn_unknown: bool = True) -> VioConfig:
         tracker=tracker,
         init=init,
         output=output,
-        max_slam_in_update=int(get("max_slam_in_update", 25)),
         tri=tri,
     )
 

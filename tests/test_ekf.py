@@ -260,6 +260,87 @@ class TestUpdate:
             assert resid < 1e-2 * lmax * 1e-4 + 1e-3, (
                 f"lmax={lmax}: residual {resid:.2e}")
 
+    def test_newton_out_of_regime_sigma(self):
+        """Adversarial conditioning BEYOND the fixed-iteration guarantee
+        (iters=22 covers sigma = ||A||_F <= 2.6e5).
+
+        (a) moderately out-of-regime (sigma ~ 1e6): the while-loop polish
+            sweeps must self-correct the under-converged inverse — the
+            update must still match the exact LU push-through form.
+        (b) extreme sigma (>= 1e9, 1e5x beyond the guarantee): the applied
+            solve STILL matches the exact LU form — B = [G·P_:s^T | g]
+            lives in the range of G·P, i.e. in A's LARGE-eigenvalue
+            subspace, which the Newton iteration converges first, so the
+            polished solve is accurate long before the full inverse is
+            (measured 3e-7 relative agreement at sigma = 2e10).  The
+            residual diagnostic must confirm convergence.
+        (c) non-finite input: the update must degrade to an EXACT NO-OP
+            (dx = 0, cov unchanged) with the reported residual flagged
+            non-converged — garbage can never enter the filter silently.
+        """
+        D = CFG.state_dim
+        ranges = CFG.cam_meas_support_ranges
+        rng = np.random.default_rng(77)
+
+        def big_sys(m, h_scale):
+            H = np.zeros((m, D))
+            for a, b in ranges:
+                H[:, a:b] = rng.normal(size=(m, b - a)) * h_scale
+            res = rng.normal(size=(m,)) * 0.05
+            return jnp.asarray(H, jnp.float32), jnp.asarray(res, jnp.float32)
+
+        from open_vins_tpu.models.update_helper import take_cols
+        k = sum(b - a for a, b in ranges)
+
+        def sigma_of(st, H):
+            H_s = np.array(take_cols(H, ranges))
+            P_ss = np.array(take_cols(take_cols(st.cov, ranges).T, ranges)).T
+            A = np.eye(k) + (H_s.T @ H_s) @ P_ss
+            return float(np.sqrt((A * A).sum()))
+
+        # (a) sigma ~ 5x beyond the fixed-iteration regime
+        st = make_state(seed=77)
+        st = st._replace(cov=st.cov * 200.0)
+        H, res = big_sys(4 * k, 2.5)
+        sigma = sigma_of(st, H)
+        assert sigma > 2.6e5, f"test not adversarial: sigma={sigma:.2e}"
+        dx_n, cov_n, rr = ekf.kalman_update_math_newton(
+            st.cov, H, res, ranges, return_resid=True)
+        dx_i, cov_i = ekf.kalman_update_math_info(st.cov, H, res, ranges)
+        assert float(rr) < 5e-2, f"polish did not converge: resid {float(rr):.3f}"
+        np.testing.assert_allclose(np.array(dx_n), np.array(dx_i),
+                                   atol=5e-4, rtol=2e-2)
+        np.testing.assert_allclose(np.array(cov_n), np.array(cov_i),
+                                   atol=2e-3, rtol=2e-2)
+
+        # (b) extreme sigma: solve must still match LU (range alignment)
+        st2 = make_state(seed=78)
+        st2 = st2._replace(cov=st2.cov * 3e5)
+        H2, res2 = big_sys(4 * k, 8.0)
+        sigma2 = sigma_of(st2, H2)
+        assert sigma2 > 1e9, f"expected extreme sigma, got {sigma2:.2e}"
+        dx_h, cov_h, rr_h = ekf.kalman_update_math_newton(
+            st2.cov, H2, res2, ranges, return_resid=True)
+        assert float(rr_h) < 5e-2, f"resid diag {float(rr_h):.3e}"
+        dx_i, cov_i = ekf.kalman_update_math_info(st2.cov, H2, res2, ranges)
+        scale_dx = float(np.abs(np.array(dx_i)).max())
+        scale_cov = float(np.abs(np.array(cov_i)).max())
+        np.testing.assert_allclose(np.array(dx_h) / scale_dx,
+                                   np.array(dx_i) / scale_dx, atol=1e-4)
+        np.testing.assert_allclose(np.array(cov_h) / scale_cov,
+                                   np.array(cov_i) / scale_cov, atol=1e-4)
+
+        # (c) non-finite input -> exact no-op + non-converged residual
+        st3 = make_state(seed=79)
+        H3, res3 = big_sys(4 * k, 0.5)
+        H3 = H3.at[0, ranges[0][0]].set(jnp.nan)
+        dx_z, cov_z, rr_z = ekf.kalman_update_math_newton(
+            st3.cov, H3, res3, ranges, return_resid=True)
+        assert not bool(np.isfinite(float(rr_z))), (
+            f"NaN input reported converged: resid {float(rr_z):.3e}")
+        np.testing.assert_array_equal(np.array(dx_z), np.zeros(D))
+        np.testing.assert_array_equal(np.array(cov_z), np.array(st3.cov))
+
     def test_spd_form_singular_support_cov(self):
         """The spd form must survive a PSD-singular P_ss (inactive slots
         carry exact zero covariance rows): the ε-regularized covariance-side

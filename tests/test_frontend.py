@@ -69,6 +69,40 @@ PARAMS = klt.KltParams(num_pyr=4, win=7, iters=12, num_features=60,
 
 
 class TestKlt:
+    def test_corner_subpix_recovers_fractional_centers(self):
+        """detect_grid + corner_subpix (cv::cornerSubPix parity,
+        Grider_FAST.h:46-73): Gaussian blobs at known FRACTIONAL centers
+        must come back sub-pixel accurate — strictly better than the
+        integer-pixel cell argmax."""
+        H, W = 240, 320
+        rng = np.random.default_rng(5)
+        yy, xx = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32), indexing="ij")
+        centers = []
+        img = np.zeros((H, W), np.float32)
+        for gy in range(3):
+            for gx in range(4):
+                cx = 40 + gx * 70 + rng.uniform(-0.45, 0.45)
+                cy = 40 + gy * 70 + rng.uniform(-0.45, 0.45)
+                centers.append((cx, cy))
+                img += np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 1.7**2))
+        centers = np.asarray(centers)
+        pts, ok = klt.detect_grid(jnp.asarray(img), jnp.zeros((1, 2)),
+                                  jnp.zeros(1, bool), PARAMS, 60)
+        pts = np.asarray(pts)[np.asarray(ok)]
+        errs = []
+        for c in centers:
+            d = np.linalg.norm(pts - c, axis=1)
+            j = np.argmin(d)
+            if d[j] < 2.0:  # matched detection
+                errs.append(d[j])
+        assert len(errs) >= 8, f"only {len(errs)} blobs detected"
+        errs = np.asarray(errs)
+        # integer argmax has mean error ~0.25-0.5 px on fractional centers;
+        # sub-pixel refinement must land well under that
+        assert errs.mean() < 0.12, f"mean sub-pixel error {errs.mean():.3f} px"
+        assert errs.max() < 0.3, f"max sub-pixel error {errs.max():.3f} px"
+
     def test_tracks_pure_translation(self):
         img0 = texture()
         dx, dy = 6.3, -3.7

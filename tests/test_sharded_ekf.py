@@ -57,5 +57,50 @@ def test_sharded_matches_dense():
     assert len(out.cov.sharding.device_set) == 8
 
 
+# the LARGE-MAP operating point (VERDICT r03 #3): D in the thousands is
+# where row-sharding the covariance stops being pure overhead — 30 clones /
+# 400 SLAM landmarks ≈ the long-window, dense-map configuration of a
+# multi-session/KAIST-scale run (SURVEY §2.9; StateHelper.cpp:137-167 are
+# the O(n²m) products being sharded)
+CFG_LARGE = FilterConfig(max_clones=30, max_slam=400, num_cams=1,
+                         max_obs_per_feature=30)
+
+
+def test_sharded_matches_dense_large_map():
+    """sharded == dense at the large-map scale (D ≈ 1400)."""
+    cfg = CFG_LARGE
+    D = cfg.state_dim
+    assert D > 1300, f"large-map config not large: D={D}"
+    rng = np.random.default_rng(3)
+    st = init_state(cfg)
+    A = rng.normal(size=(D, D)) * 0.05
+    cov = jnp.asarray(A @ A.T + 0.05 * np.eye(D), jnp.float32)
+    st = st._replace(
+        cov=cov,
+        clone_valid=jnp.ones(cfg.max_clones, bool),
+        slam_valid=jnp.ones(cfg.max_slam, bool),
+        n_clones=jnp.asarray(cfg.max_clones, jnp.int32),
+        head=jnp.asarray(cfg.max_clones - 1, jnp.int32),
+    )
+    m = 256
+    H = jnp.asarray(rng.normal(size=(m, D)) * 0.1, jnp.float32)
+    res = jnp.asarray(rng.normal(size=m) * 0.02, jnp.float32)
+    r = jnp.full((m,), 0.01, jnp.float32)
+
+    ref = ekf.ekf_update(st, cfg, H, res, r)
+
+    mesh = meshlib.make_mesh((8,), ("x",))
+    st_sh = sharded_ekf.shard_state(st, mesh)
+    upd = sharded_ekf.sharded_ekf_update(mesh, cfg)
+    out = upd(st_sh, H, res, r)
+
+    np.testing.assert_allclose(np.array(out.p), np.array(ref.p), atol=1e-5)
+    np.testing.assert_allclose(
+        np.array(out.cov)[:D, :D], np.array(ref.cov), atol=2e-4
+    )
+    assert np.allclose(np.array(out.cov)[D:, :], 0.0)
+    assert len(out.cov.sharding.device_set) == 8
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

@@ -66,20 +66,25 @@ class TestFormsOnRound2FailureRep:
         assert finite, "sequential: non-finite covariance"
         assert rmse < 0.10, f"sequential: RMSE {rmse:.3f} m"
 
-    @pytest.mark.slow
-    def test_forms_agree(self):
-        """Execution forms realize the same update.  qr and newton are both
-        EXACT algebra (compress-then-solve vs push-through with an iterated
-        inverse) — they must track each other to f32 solve noise (measured
-        4e-4 m over this loop).  spd carries a designed 3e-5 relative prior
-        jitter and woodbury a pivoted-LU rounding profile; over a chaotic
-        closed loop those amplify to cm-scale TRAJECTORY divergence while
-        the filter stays healthy (their RMSE is gated per-form above), so
-        they only get a coarse same-update bound."""
+    def test_qr_newton_agree(self):
+        """qr and newton are both EXACT algebra (compress-then-solve vs
+        push-through with an iterated inverse) — they must track each other
+        to f32 solve noise (measured 4e-4 m over this loop).  newton is the
+        PRODUCTION DEFAULT, so this tight cross-check stays in the default
+        (non-slow) suite."""
         _, _, ps_qr = _closed_loop(self.REP, "qr")
         _, _, ps_new = _closed_loop(self.REP, "newton")
         div_n = float(np.abs(ps_qr - ps_new).max())
         assert div_n < 2e-3, f"qr-vs-newton trajectory divergence {div_n:.4f} m"
+
+    @pytest.mark.slow
+    def test_forms_agree_approximate(self):
+        """spd carries a designed 3e-5 relative prior jitter and woodbury a
+        pivoted-LU rounding profile; over a chaotic closed loop those
+        amplify to cm-scale TRAJECTORY divergence while the filter stays
+        healthy (their RMSE is gated per-form above), so they only get a
+        coarse same-update bound."""
+        _, _, ps_qr = _closed_loop(self.REP, "qr")
         _, _, ps_spd = _closed_loop(self.REP, "spd")
         div = float(np.abs(ps_qr - ps_spd).max())
         assert div < 8e-2, f"qr-vs-spd trajectory divergence {div:.4f} m"
