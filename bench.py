@@ -73,8 +73,13 @@ def main(argv=None):
     # matrix work batches across the IMU window on TPU — measured 998 vs
     # 653 fps against rk4 at identical closed-loop accuracy (2.16 vs
     # 2.18 cm RMSE), so it is the operating-point configuration.
+    # newton_iters=14 covers sigma <= 2^14/16 = 1024 before polish; at this
+    # operating point the solve residual stays ~1e-4 (same closed-loop RMSE
+    # as iters=22, measured 2115 vs 2033 fps on v5e) and the while-loop
+    # polish + StepDiag.newton_resid no-op gate catch any excursion.
     cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1,
-                       max_msckf_in_update=40, integration="analytical")
+                       max_msckf_in_update=40, integration="analytical",
+                       newton_iters=14)
     tri_opts = tri.TriangulationOptions()
 
     traj = None

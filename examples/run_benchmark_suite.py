@@ -43,6 +43,22 @@ DT_CTRL = 0.05
 N_CTRL = int(round((START_OFFSET + T_RUN + 3.0) / DT_CTRL))  # 3720
 TAIL_MARGIN = 0.5  # s of freeze-transition excluded from scoring
 
+# synthetic feature-map depth range per environment.  CAUTION: min_depth is
+# measured from the GENERATING camera pose at one instant — on a room-scale
+# trajectory (±2 m position range) a 3 m feature can transiently pass well
+# under 1 m from the camera, where the 1/z² measurement nonlinearity
+# diverges the filter (measured: min_depth=3 on V1_01 → 1700 m RMSE;
+# min_depth=5 → 0.096 m).  Keep min_depth ≥ trajectory extent + 3 m — the
+# reference sim's own 5-10 m default obeys this for all indoor rigs.
+FAMILY_DEPTH = {
+    "euroc_mav": (5.0, 10.0),
+    "tum_vi": (5.0, 10.0),
+    "uzhfpv_indoor": (5.0, 12.0),
+    "uzhfpv_indoor_45": (5.0, 12.0),
+    "uzhfpv_outdoor": (6.0, 25.0),
+    "uzhfpv_outdoor_45": (6.0, 25.0),
+}
+
 FAMILIES = {
     "euroc_mav": ["MH_01_easy", "MH_02_easy", "MH_03_medium",
                   "MH_04_difficult", "MH_05_difficult", "V1_01_easy",
@@ -126,8 +142,11 @@ def main():
         map_size=2048, duration=T_RUN, sigma_pix=1.0,
         start_offset=START_OFFSET,
     )
+    # feat_rep_slam matches the reference's EuRoC configuration
+    # (config/euroc_mav/estimator_config.yaml:25)
     cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1,
-                       max_msckf_in_update=40, integration="analytical")
+                       max_msckf_in_update=40, integration="analytical",
+                       feat_rep_slam="ANCHORED_MSCKF_INVERSE_DEPTH")
     tri_opts = tri.TriangulationOptions()
 
     families = [f for f in args.families.split(",") if f]
@@ -166,8 +185,10 @@ def main():
             if n_valid < 100:
                 print(f"[suite] {fam}/{name}: too short ({valid:.0f}s), skip")
                 continue
+            dmin, dmax = FAMILY_DEPTH.get(fam, (3.0, 10.0))
             build_params = params._replace(
-                map_duration=min(valid_motion, T_RUN))
+                map_duration=min(valid_motion, T_RUN),
+                min_depth=dmin, max_depth=dmax)
             with jax.default_device(cpu0):
                 sim = simulator.build(build_params, seed=seed, traj=traj)
                 run = stage(sim, params)

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Sustained full-sequence replay: MH_01-length (≥180 s) on one chip with
+per-chunk latency percentiles, memory stability, and end-of-run health.
+
+The serial deterministic-replay role of the reference's ros1_serial_msckf
+(ros1_serial_msckf.cpp:210-278): one sequence, processed start to finish,
+with timing evidence that the throughput is STEADY-STATE (not a short-burst
+artifact) and that memory does not grow.
+
+Method: the padded replay machinery of run_benchmark_suite (one fixed frame
+schedule), stepped in 1 s (20-frame) jitted chunks from the host so wall
+time is observable per chunk; p50/p99 per-frame latency come from the
+chunk times.  Memory growth is impossible by construction (fixed-shape
+device program, no allocation after staging) and is additionally checked
+via device memory_stats when the backend exposes them.
+
+Usage:
+  python examples/run_sustained.py [--seq /root/reference/ov_data/euroc_mav/MH_01_easy.txt]
+      [--duration 180] [--chunk 20] [--cpu] [--json BENCH_SUSTAINED.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("OVT_JAX_CACHE", os.path.expanduser("~/.cache/ovt_tpu_cache"))
+
+DEFAULT_SEQ = "/root/reference/ov_data/euroc_mav/MH_01_easy.txt"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", default=DEFAULT_SEQ)
+    ap.add_argument("--duration", type=float, default=180.0)
+    ap.add_argument("--chunk", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json", default="", help="write the summary JSON here")
+    ap.add_argument("--rep", default="ANCHORED_MSCKF_INVERSE_DEPTH")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import open_vins_tpu  # noqa: F401
+    from open_vins_tpu.core.layout import FilterConfig
+    from open_vins_tpu.models import feature_table as ft
+    from open_vins_tpu.models import manager, runner
+    from open_vins_tpu.models import triangulation as tri
+    from open_vins_tpu.ops import lie
+    from open_vins_tpu.sim import simulator, trajectories
+
+    start_offset = 3.0
+    n_ctrl = int(round((start_offset + args.duration + 3.0) / 0.05))
+    traj, valid = trajectories.load_trajectory_padded(args.seq, n_ctrl)
+    params = simulator.SimParams(
+        imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=200,
+        map_size=2048, duration=args.duration, sigma_pix=1.0,
+        start_offset=start_offset,
+        map_duration=min(valid - start_offset - 0.5, args.duration),
+    )
+    cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1,
+                       max_msckf_in_update=40, integration="analytical",
+                       feat_rep_slam=args.rep)
+    tri_opts = tri.TriangulationOptions()
+
+    cpu0 = jax.devices("cpu")[0]
+    dev0 = jax.devices()[0]
+    print(f"devices: {jax.devices()}")
+    with jax.default_device(cpu0):
+        sim = simulator.build(params, seed=0, traj=traj)
+        run = runner.stage_run(sim, params)
+        jax.block_until_ready(run.frames.uv)
+    if dev0.platform != "cpu":
+        sim = jax.device_put(sim, dev0)
+        run = jax.device_put(run, dev0)
+
+    state = manager.initialize_from_gt(
+        cfg, run.gt_q[0], run.gt_p[0], run.gt_v[0],
+        sim.bias_g_traj[0], sim.bias_a_traj[0], 0.0,
+        jax.vmap(lie.rot_2_quat)(sim.cam_R_ItoC), sim.cam_p_IinC,
+        sim.cam_intr,
+    )
+    table = ft.init_table(cfg, 384)
+    K = args.chunk
+    n_frames = run.frames.t_new.shape[0]
+    n_chunks = n_frames // K
+
+    @jax.jit
+    def chunk(state, table, frames, i0):
+        fr = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, i0, K), frames)
+
+        def body(carry, f):
+            st, tb = carry
+            st, tb, diag = manager.step_frame(st, tb, cfg, tri_opts, f)
+            return (st, tb), (st.p, st.q, diag.n_slam)
+
+        (state, table), outs = jax.lax.scan(body, (state, table), fr)
+        return state, table, outs
+
+    def mem_mb():
+        try:
+            s = dev0.memory_stats()
+            return s.get("bytes_in_use", 0) / 1e6
+        except Exception:
+            return float("nan")
+
+    # compile + warm
+    t0 = time.time()
+    st_w, tb_w, _ = chunk(state, table, run.frames, 0)
+    jax.block_until_ready(st_w.cov)
+    print(f"chunk program compiled in {time.time() - t0:.0f}s")
+
+    mem0 = mem_mb()
+    times = []
+    ps_all, qs_all, nslam_all = [], [], []
+    t_start = time.time()
+    st, tb = state, table
+    for i in range(n_chunks):
+        t0 = time.perf_counter()
+        st, tb, outs = chunk(st, tb, run.frames, i * K)
+        jax.block_until_ready(st.cov)
+        times.append(time.perf_counter() - t0)
+        ps_all.append(np.array(outs[0]))
+        qs_all.append(np.array(outs[1]))
+        nslam_all.append(np.array(outs[2]))
+    wall = time.time() - t_start
+    mem1 = mem_mb()
+
+    times = np.asarray(times)
+    per_frame_ms = times / K * 1e3
+    ps = np.concatenate(ps_all)
+    qs = np.concatenate(qs_all)
+    nsl = np.concatenate(nslam_all)
+    n_valid = min(int((valid - start_offset - 0.5) * params.cam_rate),
+                  n_chunks * K)
+    gt_p = np.array(run.gt_p)[1:1 + n_chunks * K]
+    rmse = float(np.sqrt(((ps[:n_valid] - gt_p[:n_valid]) ** 2)
+                         .sum(1).mean()))
+    finite = bool(np.isfinite(np.array(st.cov)).all())
+    fps = n_chunks * K / wall
+
+    # steady-state check: second half must not be slower than the first
+    # half by more than 10% (no slow leak / fragmentation / thermal cliff)
+    h1 = float(np.median(per_frame_ms[: n_chunks // 2]))
+    h2 = float(np.median(per_frame_ms[n_chunks // 2:]))
+    steady = h2 < 1.10 * h1
+
+    summary = {
+        "metric": "sustained_replay_frames_per_sec_1chip",
+        "value": round(fps, 1),
+        "unit": f"frames/s over {n_chunks * K} frames "
+                f"({args.duration:.0f}s {os.path.basename(args.seq)})",
+        "vs_baseline": round(fps / 20.0, 2),
+        "per_frame_ms_p50": round(float(np.percentile(per_frame_ms, 50)), 3),
+        "per_frame_ms_p99": round(float(np.percentile(per_frame_ms, 99)), 3),
+        "first_half_median_ms": round(h1, 3),
+        "second_half_median_ms": round(h2, 3),
+        "steady_state": steady,
+        "mem_mb_start": round(mem0, 1),
+        "mem_mb_end": round(mem1, 1),
+        "rmse_m": round(rmse, 4),
+        "mean_slam_active": round(float(nsl[n_valid // 2:n_valid].mean()), 1),
+        "finite": finite,
+        "healthy": bool(finite and steady and rmse < 0.25),
+    }
+    print(json.dumps(summary))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {args.json}")
+    return 0 if summary["healthy"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -427,6 +427,7 @@ def ekf_update_newton(state: VioState, cfg: FilterConfig, H, res,
     With ``return_resid`` also returns the solve's relative residual for
     diagnostics (`StepDiag.newton_resid`)."""
     out = kalman_update_math_newton(state.cov, H, res, ranges,
+                                    iters=cfg.newton_iters,
                                     return_resid=return_resid)
     dx, cov = out[0], out[1]
     new_state = boxplus(state, cfg, dx)._replace(cov=cov)

@@ -102,6 +102,13 @@ class FilterConfig(NamedTuple):
     # row interchanges; it wins only where LU is cheap (CPU) or for small k
     # (the ZUPT uses the same identity at k=9).
     # Only read when joint_vision_update.
+    newton_iters: int = 22  # fixed Hotelling-Bodewig sweeps of the newton
+    # form (covers sigma = ||A||_F <= 2^iters/16 before the while-loop
+    # polish takes over; see core/ekf.kalman_update_math_newton's
+    # convergence policy).  The adaptive polish + residual no-op gate make
+    # lower values SAFE (an under-converged inverse self-corrects or
+    # no-ops visibly) — tune down for latency once the operating point's
+    # sigma range is known; 22 is the conservative default.
     fast_compress: bool = False  # OPT-IN normal-eq compression instead of
     # tall QR.  CAVEAT: in f32 the required Cholesky jitter (~eps*||H^T H||)
     # injects spurious information on weakly-constrained dims and corrupts

@@ -129,19 +129,26 @@ def nees(est_p, est_R, gt_p, gt_R, cov6):
 
     Error convention matches the filter (JPL left): δθ = -log(R_gt R_estᵀ).
     Returns (Stats ori_nees, Stats pos_nees, Stats full6_nees).
+    Fully vectorized (one batched log-map + batched solves) — the previous
+    per-frame loop dispatched one device op per sample, which dominated
+    corpus-scale evaluation (run_benchmark_suite replays ~100k frames).
     """
-    from open_vins_tpu.ops import lie
+    import jax
     import jax.numpy as jnp
 
-    n = len(est_p)
-    e_o, e_p, e_f = [], [], []
-    for k in range(n):
-        rel = np.asarray(gt_R[k]) @ np.asarray(est_R[k]).T
-        dth = -np.array(lie.log_so3(jnp.asarray(rel)))
-        dp = np.asarray(gt_p[k]) - np.asarray(est_p[k])
-        P = np.asarray(cov6[k], dtype=np.float64) + 1e-12 * np.eye(6)
-        e_o.append(dth @ np.linalg.solve(P[:3, :3], dth))
-        e_p.append(dp @ np.linalg.solve(P[3:, 3:], dp))
-        e = np.concatenate([dth, dp])
-        e_f.append(e @ np.linalg.solve(P, e))
+    from open_vins_tpu.ops import lie
+
+    gt_R = np.asarray(gt_R, dtype=np.float64)
+    est_R = np.asarray(est_R, dtype=np.float64)
+    rel = np.einsum("nij,nkj->nik", gt_R, est_R)  # R_gt R_estᵀ
+    dth = -np.array(jax.vmap(lie.log_so3)(jnp.asarray(rel)), dtype=np.float64)
+    dp = np.asarray(gt_p, dtype=np.float64) - np.asarray(est_p, np.float64)
+    P = np.asarray(cov6, dtype=np.float64) + 1e-12 * np.eye(6)
+    e_o = np.einsum("ni,ni->n", dth,
+                    np.linalg.solve(P[:, :3, :3], dth[..., None])[..., 0])
+    e_p = np.einsum("ni,ni->n", dp,
+                    np.linalg.solve(P[:, 3:, 3:], dp[..., None])[..., 0])
+    e6 = np.concatenate([dth, dp], axis=1)
+    e_f = np.einsum("ni,ni->n", e6,
+                    np.linalg.solve(P, e6[..., None])[..., 0])
     return Stats.of(e_o), Stats.of(e_p), Stats.of(e_f)

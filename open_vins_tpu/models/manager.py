@@ -218,16 +218,20 @@ def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     else:
         H_c, res_c = uh.compress_system_ranges(H_big, res_big, ranges, D)
 
-    # cleanup: processed lost rows die whether or not their update passed
-    # (UpdaterMSCKF erases processed features either way); lost candidates
-    # beyond the top-F cap stay alive so a burst of track loss is amortized
-    # over the next frames instead of silently discarded — except rows that
-    # can never triangulate (<3 remaining obs), which are dead weight.
-    # SLAM-owned rows are exempt: they may carry unconsumed measurements for
-    # one final slam.update, and evict frees them afterwards.
-    used = jnp.zeros_like(lost).at[rows].set(feat_ok, mode="drop")
+    # cleanup: EVERY selected row dies whether or not its update passed —
+    # lost or full-window alike (UpdaterMSCKF erases all processed
+    # features, pass or fail, UpdaterMSCKF.cpp:108-116).  A full-window
+    # row that failed triangulation and survived would keep its tied
+    # top-k score and be re-selected every frame, head-of-line-blocking
+    # the other candidates (measured on slow-parallax replays).  Lost
+    # candidates beyond the top-F cap stay alive so a burst of track loss
+    # is amortized over the next frames instead of silently discarded —
+    # except rows that can never triangulate (<3 remaining obs).
+    # SLAM-owned rows are exempt: they may carry unconsumed measurements
+    # for one final slam.update, and evict frees them afterwards.
     selected = jnp.zeros_like(lost).at[rows].set(sel_valid, mode="drop")
-    dead_lost = lost & ~is_slam & (selected | (n_obs < 3))
+    used = selected & ~is_slam
+    dead_lost = lost & ~is_slam & (n_obs < 3)
     table = ft.free_rows(table, dead_lost | used)
 
     diag = StepDiag(

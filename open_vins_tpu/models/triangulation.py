@@ -104,7 +104,10 @@ def triangulate_linear(obs: FeatureObs, opts: TriangulationOptions):
 
     # solve + condition gate via eigenvalues of AtA (symmetric psd);
     # closed-form 3x3 routines fuse on TPU (ops/smallmat.py) where the
-    # lapack-style custom calls pay a fixed launch latency per op
+    # lapack-style custom calls pay a fixed launch latency per op.
+    # The reference's A IS this accumulated normal matrix (per-obs
+    # Ai = I − b·bᵀ = NᵀN, FeatureInitializer.cpp:48-66), so the gate is
+    # the same eigenvalue ratio it thresholds.
     evals = smallmat.eigvalsh3(AtA)
     cond = evals[-1] / jnp.maximum(evals[0], 1e-18)
     p_A = smallmat.solve3(AtA + 1e-12 * jnp.eye(3, dtype=AtA.dtype), Atb)

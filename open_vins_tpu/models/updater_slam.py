@@ -218,10 +218,15 @@ def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
 
     # free slot for the i-th init: i-th free slam slot
     free_order = jnp.sort(jnp.where(~state.slam_valid, jnp.arange(L), L))
+    # attempt budget: hand over exactly free-capacity-many candidates (the
+    # reference sizes feats_slam to the open state slots upstream,
+    # VioManager.cpp:410-453); failures among them are consumed below
+    attempt_rank = jnp.cumsum(cand_ok.astype(jnp.int32)) - 1
+    attempted = cand_ok & (attempt_rank < n_free)
 
     def body(i, carry):
         st, n_done = carry
-        ok = cand_ok[i] & tri_ok[i] & (n_done < n_free)
+        ok = attempted[i] & tri_ok[i]
         slot = free_order[jnp.clip(n_done, 0, L - 1)]
         obs_i = jax.tree_util.tree_map(lambda a: a[i], gobs)
         # NO ctx hoist here: each candidate's leftover-rows EKF update
@@ -345,13 +350,18 @@ def _delayed_init_sequential(state: VioState, cfg: FilterConfig,
             any_work, run_inits, skip_inits, state)
     else:
         state, n_init, init_ok = run_inits(state)
-    # consume the initializing measurements on success (the reference marks
-    # the feature to_delete after StateHelper::initialize,
-    # UpdaterSLAM.cpp:237) — the stacked multi-frame update would otherwise
-    # re-use the whole window next frame
+    # consume the measurements of EVERY attempted candidate — success or
+    # failure (the reference marks processed features to_delete whether the
+    # init succeeded, failed triangulation, or failed the chi2 gate,
+    # UpdaterSLAM.cpp:139-147,237).  Consuming only successes lets a failed
+    # candidate stay a full-window row forever: with tied obs-count scores
+    # top_k re-selects the same lowest-index rows every frame and the other
+    # candidates never get a turn (measured: a slow-parallax EuRoC V1_01
+    # replay starved at 0-7/50 SLAM landmarks from exactly this).
     T = table.ids.shape[0]
     consumed_rows = jnp.any(
-        (jnp.arange(T)[:, None] == rows[None, :]) & init_ok[None, :], axis=1)
+        (jnp.arange(T)[:, None] == rows[None, :]) & attempted[None, :],
+        axis=1)
     table = ft.clear_rows(table, consumed_rows)
     return state, table, n_init
 
@@ -542,7 +552,13 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
     (lam0, R1, Hx1, res1, H_up, res_up, n_valid, extra_ok) = jax.vmap(build)(
         jnp.arange(F))
 
-    ok = cand_ok & tri_ok & extra_ok
+    # attempt budget first (reference: feats_slam is sized to the open
+    # slots upstream, VioManager.cpp:410-453), THEN the quality gates —
+    # failed attempts are consumed below so they cannot head-of-line-block
+    # the candidate queue (see the consumption note at the end)
+    attempt_rank = jnp.cumsum(cand_ok.astype(jnp.int32)) - 1
+    attempted = cand_ok & (attempt_rank < n_free)
+    ok = attempted & tri_ok & extra_ok
     # chi2 gate on the leftover rows (pre-init covariance, support columns)
     sup = cfg.cam_meas_support_ranges
     P_ss = uh.take_cols(uh.take_cols(state.cov, sup).T, sup)
@@ -553,7 +569,6 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
                      cfg.chi2_multiplier_aruco, cfg.chi2_multiplier_slam)
     ok = ok & jnp.isfinite(gamma) & (gamma < ekf.chi2_gate(dof) * mult)
     rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    ok = ok & (rank < n_free)
     slot = free_order[jnp.clip(jnp.where(ok, rank, 0), 0, L - 1)]
     slot_eff = jnp.where(ok, slot, L)  # L = out-of-range -> dropped
 
@@ -618,8 +633,15 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
 
     n_init = jnp.sum(ok.astype(jnp.int32))
     T = table.ids.shape[0]
+    # consume EVERY attempted candidate's measurements, success or failure
+    # (reference to_delete on processed features, UpdaterSLAM.cpp:139-147,
+    # 237): a failed candidate left unconsumed stays a full-window row with
+    # a tied top_k score and is re-selected every frame, starving the
+    # other candidates (measured on the slow-parallax EuRoC V1_01 replay:
+    # SLAM stuck at 0-7/50 active landmarks until this fix)
     consumed_rows = jnp.any(
-        (jnp.arange(T)[:, None] == rows[None, :]) & ok[None, :], axis=1)
+        (jnp.arange(T)[:, None] == rows[None, :]) & attempted[None, :],
+        axis=1)
     table = ft.clear_rows(table, consumed_rows)
 
     if collect:  # joint mode: the caller applies the leftover rows

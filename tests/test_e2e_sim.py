@@ -67,8 +67,13 @@ class TestClosedLoop:
         _, _, _, outs = sim_run
         diag = outs[4]
         n_msckf = np.array(diag.n_msckf)
-        # updates should engage once the window has enough clones
-        assert n_msckf[20:].mean() > 3, f"too few MSCKF features: {n_msckf[20:].mean()}"
+        # updates should engage once the window has enough clones.  (Gate
+        # recalibrated from >3 to >2 for the round-4 consume-on-attempt
+        # parity: every SELECTED full-window row now dies after its update
+        # attempt, pass or fail — UpdaterMSCKF.cpp:108-116 — so candidate
+        # windows reset more often and the per-frame mean is slightly
+        # lower at identical closed-loop RMSE.)
+        assert n_msckf[20:].mean() > 2, f"too few MSCKF features: {n_msckf[20:].mean()}"
 
     def test_position_rmse(self, sim_run):
         sim, run, state, outs = sim_run
