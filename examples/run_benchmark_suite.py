@@ -59,6 +59,14 @@ FAMILY_DEPTH = {
     "uzhfpv_outdoor_45": (6.0, 25.0),
 }
 
+# per-sequence start skip, seconds — the reference's bag start offsets
+# (run_ros_eth.sh:34-47): the EuRoC MH sequences begin with a long
+# on-the-ground stationary period the reference skips before running
+SEQ_SKIP = {
+    "MH_01_easy": 40.0, "MH_02_easy": 35.0, "MH_03_medium": 5.0,
+    "MH_04_difficult": 10.0, "MH_05_difficult": 5.0,
+}
+
 FAMILIES = {
     "euroc_mav": ["MH_01_easy", "MH_02_easy", "MH_03_medium",
                   "MH_04_difficult", "MH_05_difficult", "V1_01_easy",
@@ -94,6 +102,50 @@ REFERENCE_PUBLISHED = {
                     "V1_03_difficult": (2.391, 0.344), "V2_01_easy": (1.164, 0.121),
                     "V2_02_medium": (1.248, 0.106)},
 }
+
+
+def motion_skip(path, t_skip, start_offset, thresh=0.8):
+    """Extra seconds (beyond t_skip) until the platform has MOVED `thresh`
+    meters of accumulated path from the nominal start — the reference's
+    skip-until-motion start logic (Simulator.cpp:80-109 /
+    sim_distance_threshold) applied at the corpus level.  The estimator
+    must not idle through a stationary period: the reference WAITS for
+    motion before initializing, and a filter run open-loop through 10 s of
+    zero-parallax hover accumulates an honest-but-huge covariance that the
+    first-order update cannot recover from at takeoff (measured: MH_03
+    sigma_p 10 m at takeoff → divergence)."""
+    import numpy as np
+
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) >= 8:
+                rows.append((float(parts[0]), float(parts[1]),
+                             float(parts[2]), float(parts[3])))
+    arr = np.asarray(rows)
+    t = arr[:, 0] - arr[0, 0]
+    p = arr[:, 1:4]
+    i0 = int(np.searchsorted(t, t_skip + start_offset))
+    if i0 >= len(t) - 2:
+        return 0.0
+    tt = t[i0:]
+    pp = p[i0:]
+    # SUSTAINED NET displacement: earliest τ with |p(τ+3s) − p(τ)| ≥
+    # 1.2·thresh meters.  Net displacement (not accumulated path length —
+    # mocap noise alone racks up ~0.2 m/s of fake path while stationary)
+    # ignores a single pre-takeoff hop (MH_05 hops 0.75 m at t≈7 then
+    # hovers another 8 s).  Capped at 30 s so a slow sequence can never be
+    # skipped away entirely.
+    j3 = np.clip(np.searchsorted(tt, tt + 3.0), 0, len(tt) - 1)
+    disp3 = np.linalg.norm(pp[j3] - pp, axis=1)
+    idx = np.where(disp3 >= 1.2 * thresh)[0]
+    if len(idx) == 0:
+        return 0.0
+    return float(min(tt[idx[0]] - tt[0], 30.0))
 
 
 def sequence_paths(families):
@@ -140,7 +192,7 @@ def main():
     params = simulator.SimParams(
         imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=200,
         map_size=2048, duration=T_RUN, sigma_pix=1.0,
-        start_offset=START_OFFSET,
+        start_offset=START_OFFSET, min_view_depth=1.5,
     )
     # feat_rep_slam matches the reference's EuRoC configuration
     # (config/euroc_mav/estimator_config.yaml:25)
@@ -178,8 +230,10 @@ def main():
     for fam, name, path in seqs:
         for seed in range(args.seeds):
             t_host0 = time.time()
-            traj, valid = trajectories.load_trajectory_padded(path, N_CTRL,
-                                                              dt=DT_CTRL)
+            t_skip = SEQ_SKIP.get(name, 0.0)
+            t_skip += motion_skip(path, t_skip, START_OFFSET)
+            traj, valid = trajectories.load_trajectory_padded(
+                path, N_CTRL, dt=DT_CTRL, t_skip=t_skip)
             valid_motion = valid - START_OFFSET - TAIL_MARGIN
             n_valid = min(int(valid_motion * params.cam_rate), n_frames)
             if n_valid < 100:
@@ -325,6 +379,29 @@ def write_accuracy(path, results, align):
         avg_d = np.mean([r["ate_deg"] for r in rows])
         lines.append(f"| **average** |  | **{avg_d:.3f} / {avg_m:.3f}** |  |  |  |  |  |")
         lines.append("")
+
+    # headline: this build's V-room rows vs the reference's published
+    # real-sensor numbers on the same five sequences
+    v_rows = {r["dataset"]: r for r in by_fam.get("euroc_mav", [])}
+    v_named = ["V1_01_easy", "V1_02_medium", "V1_03_difficult",
+               "V2_01_easy", "V2_02_medium"]
+    if all(n in v_rows for n in v_named):
+        ours = [v_rows[n]["ate_m"] for n in v_named]
+        ref_vio = [m for _, m in REFERENCE_PUBLISHED["mono_ov_vio"].values()]
+        ref_slam = [m for _, m in REFERENCE_PUBLISHED["mono_ov_slam"].values()]
+        lines += [
+            "## Headline: V-room five-sequence comparison",
+            "",
+            f"| | V1_01 | V1_02 | V1_03 | V2_01 | V2_02 | **average** |",
+            f"|---|---|---|---|---|---|---|",
+            "| this build (sim replay) | " + " | ".join(
+                f"{m:.3f}" for m in ours) + f" | **{np.mean(ours):.3f}** |",
+            "| reference mono_ov_vio (real data) | " + " | ".join(
+                f"{m:.3f}" for m in ref_vio) + f" | **{np.mean(ref_vio):.3f}** |",
+            "| reference mono_ov_slam (real data) | " + " | ".join(
+                f"{m:.3f}" for m in ref_slam) + f" | **{np.mean(ref_slam):.3f}** |",
+            "",
+        ]
 
     lines += [
         "## Reference published rows (real-sensor mono EuRoC, posyaw ATE "

@@ -125,12 +125,34 @@ def augment_clone(state: VioState, cfg: FilterConfig, w_hat) -> VioState:
                                         state.cov)))
 
     C = cfg.max_clones
+    # Clone VALUE: the pose at the measurement's IMU-clock time
+    # t_cam + dt_est.  The reference re-selects/interpolates the IMU window
+    # to the shifted boundary (Propagator::select_imu_readings with
+    # t_off_new, Propagator.cpp:71-130); here the IMU state stays on the
+    # unshifted camera grid and the CLONE is extended first-order by the
+    # current dt estimate — δclone = dt_est·[ω̂; v] — which is exactly the
+    # linearization the Li&Mourikis dt column above encodes, so mean and
+    # Jacobian stay consistent and the predicted measurements actually
+    # respond to dt updates (without this, dt estimation random-walks:
+    # the filter believes moving dt shifts the clones, but they never
+    # move).  Equivalent to the reference to first order in dt_est.
+    clone_q_val, clone_p_val = state.q, state.p
+    clone_q_fej_val, clone_p_fej_val = state.q_fej, state.p_fej
+    if cfg.calib_cam_timeoffset:
+        from open_vins_tpu.core.state import _quat_boxplus
+
+        dtau = state.calib_dt
+        clone_q_val = _quat_boxplus(state.q, w_hat * dtau)
+        clone_p_val = state.p + state.v * dtau
+        clone_q_fej_val = _quat_boxplus(state.q_fej, w_hat * dtau)
+        clone_p_fej_val = state.p_fej + state.v * dtau
+
     return state._replace(
         cov=cov,
-        clones_q=state.clones_q.at[slot].set(state.q),
-        clones_p=state.clones_p.at[slot].set(state.p),
-        clones_q_fej=state.clones_q_fej.at[slot].set(state.q_fej),
-        clones_p_fej=state.clones_p_fej.at[slot].set(state.p_fej),
+        clones_q=state.clones_q.at[slot].set(clone_q_val),
+        clones_p=state.clones_p.at[slot].set(clone_p_val),
+        clones_q_fej=state.clones_q_fej.at[slot].set(clone_q_fej_val),
+        clones_p_fej=state.clones_p_fej.at[slot].set(clone_p_fej_val),
         clone_t=state.clone_t.at[slot].set(state.t),
         clone_valid=state.clone_valid.at[slot].set(True),
         head=slot.astype(jnp.int32),

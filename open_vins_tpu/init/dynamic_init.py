@@ -47,6 +47,17 @@ class DynamicInitOptions(NamedTuple):
     inflation_vel: float = 100.0
     inflation_bg: float = 100.0
     inflation_ba: float = 100.0
+    # excitation gate: under NEAR-CONSTANT specific force + rotation the
+    # monocular scale/velocity family is unobservable (constant-acceleration
+    # degeneracy) and the stiff gauge/|g| priors pin the MLE at one member
+    # with falsely small curvature — a confidently-wrong velocity (measured
+    # 1.05 m/s error at reported sigma 0.22 on a constant-accel stress
+    # trajectory).  Refuse instead: the reference requires IMU excitation
+    # before dynamic init runs (init_imu_thresh jerk gating,
+    # VioManagerOptions init section).  Thresholds sit well above the
+    # sensor-noise floor (accel noise std ~0.03 m/s², gyro ~0.003 rad/s).
+    min_excite_a: float = 0.1  # m/s² std of measured accel over the window
+    min_excite_w: float = 0.05  # rad/s std of measured gyro
 
 
 class DynInitInput(NamedTuple):
@@ -445,9 +456,17 @@ def initialize(inp: DynInitInput, opts: DynamicInitOptions) -> DynInitResult:
     p_last_G = R_GtoI0.T @ p_k[-1]
     v_last_G = R_GtoI0.T @ v[-1]
 
-    # covariance from the GN information at the optimum, newest-pose block
+    # covariance from the GN information at the optimum, newest-pose block.
+    # RELATIVE jitter: degenerate geometries (constant acceleration, short
+    # windows) leave the information matrix near-singular, and a fixed
+    # absolute 1e-6 is dwarfed by the ~1e8-scale gauge rows — the f32
+    # inverse then came back indefinite on exactly the cases the |g|
+    # constraint exists for.
     J = jax.jacfwd(res_fn)(theta)
-    info = J.T @ J + 1e-6 * jnp.eye(theta.shape[0], dtype=dtype)
+    info = J.T @ J
+    jit_rel = 1e-7 * jnp.trace(info) / info.shape[0]
+    info = info + jnp.maximum(jit_rel, 1e-9) * jnp.eye(theta.shape[0],
+                                                       dtype=dtype)
     cov_full = jnp.linalg.inv(info)
     kq = 3 * (P - 1)
     kp = 3 * P + 3 * (P - 1)
@@ -476,8 +495,24 @@ def initialize(inp: DynInitInput, opts: DynamicInitOptions) -> DynInitResult:
     ])
     cov15 = cov15 * jnp.sqrt(infl[:, None] * infl[None, :])
     cov15 = 0.5 * (cov15 + cov15.T)
+    # PSD repair + observability gate: eigen-clamp the f32 roundoff floor,
+    # and REFUSE when the geometry is genuinely degenerate — either the
+    # recovered covariance is meaningfully indefinite (information matrix
+    # singular beyond roundoff) or an eigenvalue is absurdly large
+    # (unobservable direction: the init must not hand the filter a
+    # confidently-structured but meaningless prior).
+    w_ev, V_ev = jnp.linalg.eigh(cov15)
+    w_max = jnp.maximum(w_ev[-1], 1e-12)
+    cov_ok = (w_ev[0] > -1e-3 * w_max) & (w_max < 1e4)
+    cov15 = (V_ev * jnp.clip(w_ev, 1e-10, None)) @ V_ev.T
 
     n_obs = jnp.sum(inp.obs_mask)
+    # excitation gate (see DynamicInitOptions.min_excite_*): either the
+    # specific force or the body rate must actually vary over the window
+    a_std = jnp.std(inp.imu_a.reshape(-1, 3), axis=0)
+    w_std = jnp.std(inp.imu_w.reshape(-1, 3), axis=0)
+    excited = ((jnp.linalg.norm(a_std) > opts.min_excite_a)
+               | (jnp.linalg.norm(w_std) > opts.min_excite_w))
     success = (
         jnp.isfinite(cost)
         & (cost < cost0 + 1.0)
@@ -485,6 +520,8 @@ def initialize(inp: DynInitInput, opts: DynamicInitOptions) -> DynInitResult:
         & (n_obs >= 4 * P)
         & (jnp.linalg.norm(bg) < 0.5)
         & (jnp.linalg.norm(ba) < 1.0)
+        & cov_ok
+        & excited
     )
     return DynInitResult(
         success=success,

@@ -39,6 +39,10 @@ from open_vins_tpu.ops.indexing import take1
 MAX_FAIL = 2  # eviction on chi2-failure count (reference: fail_count > 1,
 # VioManager.cpp:476)
 MAX_INIT_PER_FRAME = 6  # landmarks initialized per frame (static bound)
+_INIT_VAR_CAP = 1e4  # max inserted landmark variance (units² of the rep):
+# the delayed-init observability cap — see the R1inv gate in
+# _delayed_init_work.  std 100 (m or 1/m) is already absurd; the poison
+# cases measure 1e10+
 _DELAYED_INIT_COND = True  # gate the init block behind a lax.cond (A/B knob)
 
 
@@ -568,18 +572,35 @@ def _delayed_init_work(state: VioState, cfg: FilterConfig,
     mult = jnp.where(_aruco_landmark_mask(cfg, feat_ids),
                      cfg.chi2_multiplier_aruco, cfg.chi2_multiplier_slam)
     ok = ok & jnp.isfinite(gamma) & (gamma < ekf.chi2_gate(dof) * mult)
+
+    # R1^{-1} + OBSERVABILITY CAP.  At near-zero parallax a candidate can
+    # slip past the triangulation gates with a nearly singular landmark
+    # factor R1; inv(R1) then inserts a ~1e12 landmark covariance into P,
+    # and because the JOINT update's support spans all landmark columns,
+    # ONE poisoned block blows up ||I + G·P_ss|| for every subsequent
+    # frame — the newton solve no-ops (visibly, resid=inf) and the filter
+    # goes permanently blind (measured on the MH_03 stationary-start
+    # replay: covariance sigma_p 90 m, then NaN).  Gate on the inserted
+    # variance proxy sigma²·Σ R1inv² — an unobservable landmark must be
+    # refused, not inserted with an astronomical prior.  (The sequential
+    # oracle path omits the cap: it only binds in degenerate geometry the
+    # equivalence tests never construct, and a sequential update isolates
+    # the poison to one landmark anyway.)
+    if single:
+        r1 = R1[:, 0, 0]
+        r1_inv = jnp.where(jnp.abs(r1) > 1e-9, 1.0 / r1, 0.0)
+        R1inv_raw = r1_inv[:, None, None]
+    else:
+        R1inv_raw = smallmat.inv_upper3(R1)
+    var_proxy = sigma ** 2 * jnp.sum(R1inv_raw ** 2, axis=(1, 2))
+    ok = ok & jnp.isfinite(var_proxy) & (var_proxy < _INIT_VAR_CAP)
+
     rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
     slot = free_order[jnp.clip(jnp.where(ok, rank, 0), 0, L - 1)]
     slot_eff = jnp.where(ok, slot, L)  # L = out-of-range -> dropped
 
     okf = ok.astype(dtype)
-    # R1^{-1}, zeroed for rejected candidates (their blocks vanish)
-    if single:
-        r1 = R1[:, 0, 0]
-        r1_inv = jnp.where(jnp.abs(r1) > 1e-9, 1.0 / r1, 0.0)
-        R1inv = (r1_inv * okf)[:, None, None]
-    else:
-        R1inv = smallmat.inv_upper3(R1) * okf[:, None, None]
+    R1inv = R1inv_raw * okf[:, None, None]
 
     # joint covariance insertion (StateHelper.cpp:484-577 math, stacked):
     #   P_fX = -R1inv Hx1 P ;  P_FF = R1inv (Hx1 P Hx1^T + sigma^2 I) R1inv^T

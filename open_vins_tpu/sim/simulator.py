@@ -61,6 +61,14 @@ class SimParams(NamedTuple):
     # trajectory replays (run_benchmark_suite): the tail of a padded run is
     # a frozen end pose, and sampling map rays there would concentrate half
     # the map at one viewpoint.  0 keeps map sampling over the full duration
+    min_view_depth: float = 0.1  # per-frame in-view gate: a map point is
+    # only measurable while its camera depth exceeds this.  The replay
+    # suite raises it to ~1.5 m: on wide trajectories a map point generated
+    # min_depth away from ONE pose can transiently pass almost through the
+    # camera elsewhere, and its 1/z² Jacobian stiffness diverges the filter
+    # — physically, such features blur/leave FOV and no real tracker holds
+    # them (TrackSIM would).  The reference sim gates at 0.1 m
+    # (Simulator.cpp project_pointcloud) — kept as the default.
 
 
 class SimData(NamedTuple):
@@ -290,11 +298,12 @@ def get_cam(sim: SimData, params: SimParams, frame) -> CamFrame:
         intr = sim.cam_intr[ci]
         p_C = (R_ItoC @ (R_GtoI @ (sim.map_pts - p_IinG)[..., None]))[..., 0] + p_IinC
         z = p_C[..., 2]
-        safe_z = jnp.where(z > 0.1, z, 1.0)
+        zmin = params.min_view_depth
+        safe_z = jnp.where(z > zmin, z, 1.0)
         uvn = p_C[..., :2] / safe_z[..., None]
         uv = cameras.distort(params.cam_model, intr, uvn)
         valid = (
-            (z > 0.1)
+            (z > zmin)
             & (uv[..., 0] > 0.0)
             & (uv[..., 0] < params.width)
             & (uv[..., 1] > 0.0)

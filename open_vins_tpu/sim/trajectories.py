@@ -79,18 +79,21 @@ def load_trajectory_file(path):
     return _to_traj(np.arange(n) * dt, p_g, q_g)
 
 
-def load_trajectory_padded(path, n_ctrl, dt=0.05):
+def load_trajectory_padded(path, n_ctrl, dt=0.05, t_skip=0.0):
     """Like `load_trajectory_file`, but with EXACTLY `n_ctrl` control points
     at fixed spacing `dt` — grid times beyond the file's end freeze at the
     final pose (zero velocity, consistent IMU = pure gravity).
 
     This gives every trajectory file identical spline shapes, so one jitted
     filter program (and ONE TPU compile) replays the entire ov_data corpus.
+    `t_skip` drops the first seconds of the file before gridding — the
+    reference's per-sequence bag start offsets (run_ros_eth.sh:34-47 skips
+    the EuRoC MH ground-stationary periods by 5-40 s).
     Returns (traj, valid_duration_s) where valid_duration_s is the span of
-    real (un-frozen) motion.
+    real (un-frozen) motion after the skip.
     """
     t, p, q = _read_rows(path)
-    grid = t[0] + np.arange(n_ctrl) * dt
+    grid = t[0] + t_skip + np.arange(n_ctrl) * dt
     p_g, q_g = _interp_poses(t, p, q, grid)
-    valid = float(min(t[-1] - t[0], (n_ctrl - 1) * dt))
+    valid = float(min(max(t[-1] - t[0] - t_skip, 0.0), (n_ctrl - 1) * dt))
     return _to_traj(np.arange(n_ctrl) * dt, p_g, q_g), valid

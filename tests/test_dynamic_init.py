@@ -267,3 +267,91 @@ class TestPreintCov15:
         for blk in (slice(0, 3), slice(3, 6), slice(6, 9)):
             r = np.trace(emp[blk, blk]) / np.trace(P9[blk, blk])
             assert 0.75 < r < 1.3, f"block {blk} variance ratio {r:.2f}"
+
+
+class TestDegenerateGeometry:
+    """Stress cases where the |g| = 9.81 constraint BINDS (VERDICT r03 #8):
+    near-constant acceleration and short windows — the geometries the
+    reference solves with the Dongsi companion-matrix quartic
+    (ov_init/src/utils/helper.h:183) and this build with alternating
+    projection + a stiff norm prior.  Requirement: the initializer either
+    recovers v/|g-direction| within bounds, or REFUSES (success=False) —
+    it must never hand back a confidently-wrong state."""
+
+    @staticmethod
+    def _const_accel_traj(duration=8.0, dt=0.05):
+        """Constant-acceleration, constant-orientation trajectory: the
+        accelerometer reads a CONSTANT vector, so only |g| separates the
+        gravity/acceleration split (the classic degenerate case)."""
+        n = int(duration / dt) + 8
+        t = np.arange(n) * dt
+        a = np.array([0.35, -0.25, 0.15])
+        p = 0.5 * a[None, :] * (t**2)[:, None]
+        R = np.tile(np.eye(3), (n, 1, 1))
+        return (jnp.asarray(t, jnp.float32), jnp.asarray(R, jnp.float32),
+                jnp.asarray(p, jnp.float32))
+
+    def _check(self, res, sim, params, t_last, v_tol, dir_tol):
+        ok = bool(res.success)
+        if not ok:
+            return "refused"
+        q_gt, p_gt, v_gt, bg_gt, ba_gt = simulator.get_state(
+            sim, params, jnp.asarray(t_last))
+        g_body_est = np.array(lie.quat_2_rot(res.q_GtoI)) @ np.array([0, 0, 1.0])
+        g_body_true = np.array(lie.quat_2_rot(q_gt)) @ np.array([0, 0, 1.0])
+        cosg = float(np.dot(g_body_est, g_body_true))
+        v_err = abs(float(np.linalg.norm(np.array(res.v)))
+                    - float(np.linalg.norm(np.array(v_gt))))
+        assert cosg > dir_tol, (
+            f"accepted init with wrong gravity dir (cos {cosg:.4f})")
+        # accepted => covariance must be finite PSD
+        c = np.array(res.cov15)
+        assert np.all(np.isfinite(c))
+        assert np.linalg.eigvalsh(c).min() > 0
+        # velocity: small error OR an honest covariance that covers it.
+        # Constant acceleration leaves the monocular scale (and hence |v|)
+        # weakly observable — the requirement is that a large error MUST
+        # be accompanied by a large reported sigma, never a confident lie.
+        sigma_v = float(np.sqrt(np.trace(c[6:9, 6:9])))
+        assert v_err < max(v_tol, 4.0 * sigma_v), (
+            f"accepted init with |v| error {v_err:.3f} while reporting "
+            f"sigma_v {sigma_v:.3f} — a confidently-wrong velocity")
+        return "accepted"
+
+    def test_constant_acceleration(self):
+        params = PARAMS._replace(duration=6.0)
+        traj = self._const_accel_traj()
+        sim = simulator.build(params, seed=5, traj=traj)
+        inp = build_input(sim, params, n_pose=6, window=2.0)
+        opts = dynamic_init.DynamicInitOptions()
+        res = jax.jit(lambda i: dynamic_init.initialize(i, opts))(inp)
+        out = self._check(res, sim, params, float(inp.t_pose[-1]),
+                          v_tol=0.35, dir_tol=0.995)
+        # constant-acceleration with the norm constraint IS solvable —
+        # a refusal here would be over-conservative but safe; log either way
+        print(f"const-accel init: {out}")
+
+    def test_short_window(self):
+        """0.75 s / 4-pose window: barely-excited, the covariance must be
+        honest (large) or the init must refuse."""
+        sim = simulator.build(PARAMS, seed=11)
+        inp = build_input(sim, PARAMS, n_pose=4, window=0.75)
+        opts = dynamic_init.DynamicInitOptions()
+        res = jax.jit(lambda i: dynamic_init.initialize(i, opts))(inp)
+        out = self._check(res, sim, PARAMS, float(inp.t_pose[-1]),
+                          v_tol=0.5, dir_tol=0.99)
+        print(f"short-window init: {out}")
+
+    def test_short_window_and_const_accel(self):
+        """The compound worst case: short window AND constant acceleration.
+        Acceptance with a wrong gravity direction is the failure mode the
+        constraint exists to prevent."""
+        params = PARAMS._replace(duration=6.0)
+        traj = self._const_accel_traj()
+        sim = simulator.build(params, seed=7, traj=traj)
+        inp = build_input(sim, params, n_pose=4, window=1.0)
+        opts = dynamic_init.DynamicInitOptions()
+        res = jax.jit(lambda i: dynamic_init.initialize(i, opts))(inp)
+        out = self._check(res, sim, params, float(inp.t_pose[-1]),
+                          v_tol=0.6, dir_tol=0.99)
+        print(f"short+const-accel init: {out}")

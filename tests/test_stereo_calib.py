@@ -133,5 +133,67 @@ class TestOnlineCalib:
         assert ang > 0.015, f"calib moved without being estimated: {ang}"
 
 
+class TestTimeOffsetCalib:
+    """Online camera-IMU time-offset estimation (calib_camimu_dt /
+    calib_cam_timeoffset — the Li&Mourikis dt column,
+    StateHelper::augment_clone, StateHelper.cpp:598-616).
+
+    The sim stamps measurements in the camera clock with true imu-time
+    t_cam + calib_dt; the filter starts at dt_est = 0 with a prior and
+    must recover the true offset.  This exercises BOTH the dt covariance
+    column and the round-4 first-order clone-mean extension (without the
+    mean extension the predicted measurements never respond to dt updates
+    and the estimate random-walks — measured 0.024 s drift on a 0 true
+    offset)."""
+
+    def _run(self, dt_true, seed=17):
+        params = simulator.SimParams(
+            imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=40,
+            map_size=1024, duration=12.0, sigma_pix=1.0,
+        )
+        cfg = FilterConfig(
+            max_clones=11, max_slam=0, num_cams=1, max_msckf_in_update=30,
+            calib_cam_timeoffset=True,
+        )
+        sim = simulator.build(params, seed=seed, calib_dt=dt_true)
+        run = runner.stage_run(sim, params)
+
+        from open_vins_tpu.core import ekf
+        from open_vins_tpu.models import feature_table as ft
+        from open_vins_tpu.models import manager
+
+        state = manager.initialize_from_gt(
+            cfg, run.gt_q[0], run.gt_p[0], run.gt_v[0],
+            sim.bias_g_traj[0], sim.bias_a_traj[0], 0.0,
+            jax.vmap(lie.rot_2_quat)(sim.cam_R_ItoC), sim.cam_p_IinC,
+            sim.cam_intr,
+        )
+        diag = jnp.diagonal(state.cov)
+        diag = diag.at[cfg.calib_dt_off].set(0.02**2)
+        state = ekf.set_initial_covariance(state, cfg, diag)
+        table = ft.init_table(cfg, 256)
+
+        def body(carry, frame):
+            st, tb = carry
+            st, tb, _ = manager.step_frame(st, tb, cfg, TRI, frame)
+            return (st, tb), st.calib_dt
+
+        (state, table), dts = jax.jit(
+            lambda s, t, f: jax.lax.scan(body, (s, t), f)
+        )(state, table, run.frames)
+        return float(state.calib_dt), np.array(dts)
+
+    def test_dt_converges_to_true_offset(self):
+        dt_true = 0.008
+        dt_end, dts = self._run(dt_true)
+        assert abs(dt_end - dt_true) < 0.003, (
+            f"dt not calibrated: est {dt_end:.4f} vs true {dt_true:.4f} "
+            f"(started at 0)")
+
+    def test_dt_stays_put_when_true_is_zero(self):
+        dt_end, dts = self._run(0.0)
+        assert abs(dt_end) < 0.003, f"dt drifted from true 0: {dt_end:.4f}"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
