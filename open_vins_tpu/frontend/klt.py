@@ -39,15 +39,22 @@ class KltParams(NamedTuple):
     num_features: int = 200
 
 
+def _avgpool2(x):
+    """2x2/stride-2 average pool via lax.reduce_window — NOT strided
+    slices: `x[1::2, 0::2]`-style stride-2 slicing lowers to full-size
+    GATHERS on this backend (measured 0.9 ms each at 752×480; four per
+    pyramid level dominated the tracker), while reduce_window is native
+    TPU pooling."""
+    h2, w2 = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+    return 0.25 * jax.lax.reduce_window(
+        x[:h2, :w2], 0.0, jax.lax.add, (2, 2), (2, 2), "VALID")
+
+
 def build_pyramid(img, levels):
     """[H,W] -> list of levels (2x2 average pooled)."""
     pyr = [img]
     for _ in range(levels - 1):
-        x = pyr[-1]
-        h2, w2 = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
-        x = x[:h2, :w2]
-        x = 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2])
-        pyr.append(x)
+        pyr.append(_avgpool2(pyr[-1]))
     return pyr
 
 
@@ -79,47 +86,95 @@ def _bilinear(img, y, x):
     )
 
 
+def extract_patches(img, centers, half):
+    """Batched (2·half+2)² integer-base patch extraction via ONE-HOT
+    CONTRACTIONS — zero gathers.
+
+    TPU-critical: a per-pixel bilinear gather of [F·(2w+1)²] elements
+    executes near-scalar on this backend (measured 0.86 ms per gather op,
+    ~40 of them per KLT frame ⇒ 2.7 frames/s).  Expressed as two one-hot
+    matmuls — rows = onehot(y)·img, patch = rows·onehot(x)ᵀ — the same
+    access is MXU work (~1.7 GFLOP per 200-feature extraction ≈ 0.1 ms).
+
+    centers: [F, 2] float (x, y).  Returns (patches [F, S, S], fx [F],
+    fy [F]) with S = 2·half + 2; patches[f, i, j] = img[y0+i, x0+j]
+    (indices clamped), y0 = floor(cy) − half, x0 = floor(cx) − half, and
+    (fx, fy) the fractional parts — `shift_patches` combines the four
+    integer shifts into the bilinear sample at the true center.
+    """
+    H, W = img.shape
+    S = 2 * half + 2
+    x0 = jnp.floor(centers[:, 0])
+    y0 = jnp.floor(centers[:, 1])
+    fx = centers[:, 0] - x0
+    fy = centers[:, 1] - y0
+    ridx = jnp.clip(y0.astype(jnp.int32)[:, None] - half
+                    + jnp.arange(S, dtype=jnp.int32)[None, :], 0, H - 1)
+    cidx = jnp.clip(x0.astype(jnp.int32)[:, None] - half
+                    + jnp.arange(S, dtype=jnp.int32)[None, :], 0, W - 1)
+    F = centers.shape[0]
+    R = (ridx[..., None] == jnp.arange(H, dtype=jnp.int32)).astype(img.dtype)
+    C = (cidx[..., None] == jnp.arange(W, dtype=jnp.int32)).astype(img.dtype)
+    rows = (R.reshape(F * S, H) @ img).reshape(F, S, W)
+    patches = rows @ jnp.swapaxes(C, -1, -2)  # [F, S, S]
+    return patches, fx, fy
+
+
+def shift_patches(patches, fx, fy):
+    """Bilinear sample of integer-base patches at their fractional center:
+    [F, S, S] -> [F, S-1, S-1].  The whole patch shifts rigidly, so the
+    four weights are scalars per feature."""
+    wx = fx[:, None, None]
+    wy = fy[:, None, None]
+    return ((1 - wy) * (1 - wx) * patches[:, :-1, :-1]
+            + (1 - wy) * wx * patches[:, :-1, 1:]
+            + wy * (1 - wx) * patches[:, 1:, :-1]
+            + wy * wx * patches[:, 1:, 1:])
+
+
+def _sample_patches(img, centers, half):
+    """[F, 2·half+1, 2·half+1] bilinear patches at float centers (the
+    gather-free replacement for per-pixel `_bilinear` grids)."""
+    p, fx, fy = extract_patches(img, centers, half)
+    return shift_patches(p, fx, fy)
+
+
 def _track_level(img0, img1, gx0, gy0, pts0, guess, params: KltParams):
-    """One pyramid level of LK for all features.
+    """One pyramid level of LK for all features — fully batched over the
+    feature axis with one-hot patch extraction (no gathers; see
+    `extract_patches`).
 
     pts0: [N,2] (x,y) in this level's coords; guess: [N,2] current flow.
     Returns (flow [N,2], ok [N]).
     """
     w = params.win
-    offs = jnp.arange(-w, w + 1, dtype=img0.dtype)
-    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")  # [P,P]
+    # template + gradient patches at pts0 (fixed per level)
+    t0 = _sample_patches(img0, pts0, w)   # [F, P, P]
+    ix = _sample_patches(gx0, pts0, w)
+    iy = _sample_patches(gy0, pts0, w)
+    # structure tensor (constant per feature at this level)
+    a = jnp.sum(ix * ix, axis=(1, 2))
+    b = jnp.sum(ix * iy, axis=(1, 2))
+    c = jnp.sum(iy * iy, axis=(1, 2))
+    det = a * c - b * b
+    tr = a + c
+    min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+    npix = (2 * w + 1) ** 2
+    cond_ok = min_eig / npix > params.min_eig
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
 
-    def one(pt, g):
-        px = pt[0] + ox
-        py = pt[1] + oy
-        t0 = _bilinear(img0, py, px)
-        ix = _bilinear(gx0, py, px)
-        iy = _bilinear(gy0, py, px)
-        # structure tensor (constant per feature at this level)
-        a = jnp.sum(ix * ix)
-        b = jnp.sum(ix * iy)
-        c = jnp.sum(iy * iy)
-        det = a * c - b * b
-        tr = a + c
-        min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
-        npix = (2 * w + 1) ** 2
-        cond_ok = min_eig / npix > params.min_eig
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    def body(_, flow):
+        t1 = _sample_patches(img1, pts0 + flow, w)
+        e = t1 - t0
+        bx = jnp.sum(e * ix, axis=(1, 2))
+        by = jnp.sum(e * iy, axis=(1, 2))
+        du = inv_det * (c * bx - b * by)
+        dv = inv_det * (-b * bx + a * by)
+        return flow - jnp.stack([du, dv], axis=-1)
 
-        def body(_, flow):
-            t1 = _bilinear(img1, py + flow[1], px + flow[0])
-            e = t1 - t0
-            bx = jnp.sum(e * ix)
-            by = jnp.sum(e * iy)
-            du = inv_det * (c * bx - b * by)
-            dv = inv_det * (-b * bx + a * by)
-            return flow - jnp.asarray([du, dv])
-
-        flow = jax.lax.fori_loop(0, params.iters, body, g)
-        ok = cond_ok & (jnp.linalg.norm(flow - g) < params.max_flow)
-        return flow, ok
-
-    return jax.vmap(one)(pts0, guess)
+    flow = jax.lax.fori_loop(0, params.iters, body, guess)
+    ok = cond_ok & (jnp.linalg.norm(flow - guess, axis=-1) < params.max_flow)
+    return flow, ok
 
 
 def track(img0, img1, pts0, params: KltParams, initial_flow=None):
@@ -203,9 +258,11 @@ def detect_grid(img, occupancy_pts, occupancy_mask, params: KltParams,
     ox = jnp.clip((occupancy_pts[:, 0] / cell).astype(jnp.int32), 0, gw - 1)
     oy = jnp.clip((occupancy_pts[:, 1] / cell).astype(jnp.int32), 0, gh - 1)
     occ = occ.at[oy, ox].max(occupancy_mask)
-    occ_full = occ[
-        jnp.clip(yy // cell, 0, gh - 1), jnp.clip(xx // cell, 0, gw - 1)
-    ]
+    # upsample the occupancy grid densely (jnp.repeat = broadcast+reshape):
+    # the obvious occ[yy//cell, xx//cell] lookup is a full-image GATHER,
+    # which executes near-scalar on this backend (3.7 ms/frame measured)
+    occ_full = jnp.repeat(jnp.repeat(occ, cell, axis=0), cell,
+                          axis=1)[:H, :W]
     resp = jnp.where(occ_full, -1.0, resp)
 
     # per-cell best corner: pad to multiples of the cell grid then argmax
@@ -252,41 +309,70 @@ def corner_subpix(img, pts, ok, win=4, iters=3):
     Returns refined pts [N, 2]; invalid rows pass through unchanged.
     """
     gx, gy = _grad(img)
+    # gather-free: extract one gradient patch per corner that covers the
+    # whole refinement excursion (≤1 px per iteration), then every
+    # iteration samples INSIDE the patch with small one-hot contractions
+    # (see extract_patches for why gathers are fatal on this backend)
+    half_base = win + iters + 1
+    Pgx, _, _ = extract_patches(gx, pts, half_base)
+    Pgy, _, _ = extract_patches(gy, pts, half_base)
+    bx0 = jnp.floor(pts[:, 0]) - half_base
+    by0 = jnp.floor(pts[:, 1]) - half_base
     offs = jnp.arange(-win, win + 1, dtype=img.dtype)
     oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
 
-    def one(pt, okf):
-        def body(_, q):
-            px = q[0] + ox
-            py = q[1] + oy
-            ix = _bilinear(gx, py, px)
-            iy = _bilinear(gy, py, px)
-            a = jnp.sum(ix * ix)
-            b = jnp.sum(ix * iy)
-            c = jnp.sum(iy * iy)
-            bx = jnp.sum(ix * ix * px + ix * iy * py)
-            by = jnp.sum(ix * iy * px + iy * iy * py)
-            det = a * c - b * b
-            inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            qx = inv * (c * bx - b * by)
-            qy = inv * (-b * bx + a * by)
-            qn = jnp.stack([qx, qy])
-            qn = jnp.where(inv == 0.0, q, qn)
-            return q + jnp.clip(qn - q, -1.0, 1.0)
+    def _inpatch(P, cy, cx):
+        F, S, _ = P.shape
+        So = 2 * win + 2
+        y0 = jnp.floor(cy)
+        x0 = jnp.floor(cx)
+        ridx = jnp.clip(y0.astype(jnp.int32)[:, None] - win
+                        + jnp.arange(So, dtype=jnp.int32)[None, :], 0, S - 1)
+        cidx = jnp.clip(x0.astype(jnp.int32)[:, None] - win
+                        + jnp.arange(So, dtype=jnp.int32)[None, :], 0, S - 1)
+        R = (ridx[..., None] == jnp.arange(S, dtype=jnp.int32)).astype(P.dtype)
+        C = (cidx[..., None] == jnp.arange(S, dtype=jnp.int32)).astype(P.dtype)
+        Q = jnp.matmul(jnp.matmul(R, P), jnp.swapaxes(C, -1, -2))
+        return shift_patches(Q, cx - x0, cy - y0)
 
-        q = jax.lax.fori_loop(0, iters, body, pt)
-        good = okf & (jnp.linalg.norm(q - pt) < win)
-        return jnp.where(good, q, pt)
+    def body(_, q):
+        lx = q[:, 0] - bx0
+        ly = q[:, 1] - by0
+        ixp = _inpatch(Pgx, ly, lx)  # [F, 2w+1, 2w+1]
+        iyp = _inpatch(Pgy, ly, lx)
+        px = q[:, 0, None, None] + ox
+        py = q[:, 1, None, None] + oy
+        a = jnp.sum(ixp * ixp, axis=(1, 2))
+        b = jnp.sum(ixp * iyp, axis=(1, 2))
+        c = jnp.sum(iyp * iyp, axis=(1, 2))
+        bx = jnp.sum(ixp * ixp * px + ixp * iyp * py, axis=(1, 2))
+        by = jnp.sum(ixp * iyp * px + iyp * iyp * py, axis=(1, 2))
+        det = a * c - b * b
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        qx = inv * (c * bx - b * by)
+        qy = inv * (-b * bx + a * by)
+        qn = jnp.stack([qx, qy], axis=-1)
+        qn = jnp.where((inv == 0.0)[:, None], q, qn)
+        return q + jnp.clip(qn - q, -1.0, 1.0)
 
-    return jax.vmap(one)(pts, ok)
+    q = jax.lax.fori_loop(0, iters, body, pts)
+    good = ok & (jnp.linalg.norm(q - pts, axis=-1) < win)
+    return jnp.where(good[:, None], q, pts)
 
 
 def equalize(img):
     """Global contrast normalization (a rank-free stretch; cheap default
     used by the sim/descriptor paths — see `equalize_method` for the
-    reference's NONE/HISTOGRAM/CLAHE modes, TrackKLT.cpp:56-75)."""
-    lo = jnp.percentile(img, 2.0)
-    hi = jnp.percentile(img, 98.0)
+    reference's NONE/HISTOGRAM/CLAHE modes, TrackKLT.cpp:56-75).
+
+    Moment-based clip bounds (mean ± 2.3σ ≈ the 1st/99th percentile of a
+    near-Gaussian intensity histogram): the exact-percentile version
+    full-image SORTED twice per camera per frame — ~0.6 ms each on TPU —
+    for bounds the tracker only needs approximately."""
+    mu = jnp.mean(img)
+    sd = jnp.std(img)
+    lo = mu - 2.3 * sd
+    hi = mu + 2.3 * sd
     return jnp.clip((img - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
 
 
@@ -377,7 +463,4 @@ def equalize_method(img, method: str):
 def downsample2(img):
     """2x2 average-pool halving (the reference's downsample_cameras
     pyrDown role, TrackBase.h:106; pair with halved fx/fy/cx/cy)."""
-    h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
-    x = img[:h2, :w2]
-    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2]
-                   + x[1::2, 1::2])
+    return _avgpool2(img)
