@@ -62,10 +62,7 @@ FAMILY_DEPTH = {
 # per-sequence start skip, seconds — the reference's bag start offsets
 # (run_ros_eth.sh:34-47): the EuRoC MH sequences begin with a long
 # on-the-ground stationary period the reference skips before running
-SEQ_SKIP = {
-    "MH_01_easy": 40.0, "MH_02_easy": 35.0, "MH_03_medium": 5.0,
-    "MH_04_difficult": 10.0, "MH_05_difficult": 5.0,
-}
+from open_vins_tpu.sim.trajectories import EUROC_START_SKIP as SEQ_SKIP  # noqa: E402
 
 FAMILIES = {
     "euroc_mav": ["MH_01_easy", "MH_02_easy", "MH_03_medium",
@@ -104,48 +101,8 @@ REFERENCE_PUBLISHED = {
 }
 
 
-def motion_skip(path, t_skip, start_offset, thresh=0.8):
-    """Extra seconds (beyond t_skip) until the platform has MOVED `thresh`
-    meters of accumulated path from the nominal start — the reference's
-    skip-until-motion start logic (Simulator.cpp:80-109 /
-    sim_distance_threshold) applied at the corpus level.  The estimator
-    must not idle through a stationary period: the reference WAITS for
-    motion before initializing, and a filter run open-loop through 10 s of
-    zero-parallax hover accumulates an honest-but-huge covariance that the
-    first-order update cannot recover from at takeoff (measured: MH_03
-    sigma_p 10 m at takeoff → divergence)."""
-    import numpy as np
-
-    rows = []
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            parts = line.split()
-            if len(parts) >= 8:
-                rows.append((float(parts[0]), float(parts[1]),
-                             float(parts[2]), float(parts[3])))
-    arr = np.asarray(rows)
-    t = arr[:, 0] - arr[0, 0]
-    p = arr[:, 1:4]
-    i0 = int(np.searchsorted(t, t_skip + start_offset))
-    if i0 >= len(t) - 2:
-        return 0.0
-    tt = t[i0:]
-    pp = p[i0:]
-    # SUSTAINED NET displacement: earliest τ with |p(τ+3s) − p(τ)| ≥
-    # 1.2·thresh meters.  Net displacement (not accumulated path length —
-    # mocap noise alone racks up ~0.2 m/s of fake path while stationary)
-    # ignores a single pre-takeoff hop (MH_05 hops 0.75 m at t≈7 then
-    # hovers another 8 s).  Capped at 30 s so a slow sequence can never be
-    # skipped away entirely.
-    j3 = np.clip(np.searchsorted(tt, tt + 3.0), 0, len(tt) - 1)
-    disp3 = np.linalg.norm(pp[j3] - pp, axis=1)
-    idx = np.where(disp3 >= 1.2 * thresh)[0]
-    if len(idx) == 0:
-        return 0.0
-    return float(min(tt[idx[0]] - tt[0], 30.0))
+# motion_skip / EUROC_START_SKIP live in open_vins_tpu.sim.trajectories (shared with run_sustained)
+from open_vins_tpu.sim.trajectories import motion_skip  # noqa: E402
 
 
 def sequence_paths(families):

@@ -59,7 +59,15 @@ def main():
 
     start_offset = 3.0
     n_ctrl = int(round((start_offset + args.duration + 3.0) / 0.05))
-    traj, valid = trajectories.load_trajectory_padded(args.seq, n_ctrl)
+    # same start protocol as the corpus suite: reference bag-start skip +
+    # sustained-motion detection (MH_01 opens with 40 s on the ground; an
+    # estimator idled through it diverges at takeoff — see
+    # trajectories.motion_skip)
+    seq_name = os.path.splitext(os.path.basename(args.seq))[0]
+    t_skip = trajectories.EUROC_START_SKIP.get(seq_name, 0.0)
+    t_skip += trajectories.motion_skip(args.seq, t_skip, start_offset)
+    traj, valid = trajectories.load_trajectory_padded(args.seq, n_ctrl,
+                                                      t_skip=t_skip)
     params = simulator.SimParams(
         imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=200,
         map_size=2048, duration=args.duration, sigma_pix=1.0,
@@ -69,6 +77,7 @@ def main():
     cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1,
                        max_msckf_in_update=40, integration="analytical",
                        feat_rep_slam=args.rep)
+    params = params._replace(min_view_depth=1.5)
     tri_opts = tri.TriangulationOptions()
 
     cpu0 = jax.devices("cpu")[0]

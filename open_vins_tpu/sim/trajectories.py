@@ -97,3 +97,37 @@ def load_trajectory_padded(path, n_ctrl, dt=0.05, t_skip=0.0):
     p_g, q_g = _interp_poses(t, p, q, grid)
     valid = float(min(max(t[-1] - t[0] - t_skip, 0.0), (n_ctrl - 1) * dt))
     return _to_traj(np.arange(n_ctrl) * dt, p_g, q_g), valid
+
+
+# per-sequence start skips for the EuRoC MH ground-stationary periods —
+# the reference's bag start offsets (ov_msckf/scripts/run_ros_eth.sh:34-47)
+EUROC_START_SKIP = {
+    "MH_01_easy": 40.0, "MH_02_easy": 35.0, "MH_03_medium": 5.0,
+    "MH_04_difficult": 10.0, "MH_05_difficult": 5.0,
+}
+
+
+def motion_skip(path, t_skip, start_offset, thresh=0.8):
+    """Extra seconds (beyond t_skip) until SUSTAINED motion: earliest τ with
+    net displacement |p(τ+3 s) − p(τ)| ≥ 1.2·thresh meters (capped 30 s).
+
+    The reference's skip-until-motion start role (Simulator.cpp:80-109 /
+    sim_distance_threshold) at the corpus level: an estimator idled through
+    a stationary start accumulates an honest-but-unrecoverable covariance
+    (orientation-prior × g × t velocity growth) and diverges at takeoff.
+    Net displacement, not accumulated path — mocap noise alone racks up
+    ~0.2 m/s of fake path length while stationary — and a 3 s window so a
+    single pre-takeoff hop does not count (MH_05 hops 0.75 m then hovers)."""
+    t, p, _ = _read_rows(path)
+    t = t - t[0]
+    i0 = int(np.searchsorted(t, t_skip + start_offset))
+    if i0 >= len(t) - 2:
+        return 0.0
+    tt = t[i0:]
+    pp = p[i0:]
+    j3 = np.clip(np.searchsorted(tt, tt + 3.0), 0, len(tt) - 1)
+    disp3 = np.linalg.norm(pp[j3] - pp, axis=1)
+    idx = np.where(disp3 >= 1.2 * thresh)[0]
+    if len(idx) == 0:
+        return 0.0
+    return float(min(tt[idx[0]] - tt[0], 30.0))
