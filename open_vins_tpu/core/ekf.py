@@ -423,9 +423,13 @@ def kalman_update_math_newton(cov, H, res, ranges, iters=22,
         _, rr, j = c
         return jnp.isfinite(rr) & (rr > polish_tol) & (j < max_polish)
 
-    XB, resid_rel, _ = jax.lax.while_loop(cond, sweep, carry)
-    # resid_rel is the residual BEFORE the final sweep — an upper bound on
-    # the applied solve's residual (refinement is monotone for this A).
+    XB, _, _ = jax.lax.while_loop(cond, sweep, carry)
+    # gate + report on the residual of the SOLVE ACTUALLY APPLIED (one
+    # extra [k,D+1] matmul, ~3% of the update): the in-loop rr describes
+    # the pre-sweep iterate, and when the loop exits at max_polish a final
+    # un-measured sweep would otherwise be accepted on a stale bound.
+    resid_rel = jnp.max(jnp.abs(B - A @ XB)) / denom
+    resid_rel = jnp.where(jnp.isfinite(resid_rel), resid_rel, jnp.inf)
     # NaN-kill convention: a non-finite or non-converged solve must degrade
     # to a no-op update, never escape into the state/covariance.
     ok = jnp.all(jnp.isfinite(XB)) & (resid_rel < noop_tol)

@@ -56,8 +56,14 @@ class DynamicInitOptions(NamedTuple):
     # before dynamic init runs (init_imu_thresh jerk gating,
     # VioManagerOptions init section).  Thresholds sit well above the
     # sensor-noise floor (accel noise std ~0.03 m/s², gyro ~0.003 rad/s).
-    min_excite_a: float = 0.1  # m/s² std of measured accel over the window
-    min_excite_w: float = 0.05  # rad/s std of measured gyro
+    # thresholds are on the per-axis RANGE (max − min) of the measured
+    # signal, which is invariant to the repeat-last-sample padding of the
+    # DynInitInput segments (a std would be deflated by the padding ratio
+    # and falsely refuse excited short segments).  Noise-only floors:
+    # accel sample noise std ~0.028 m/s² ⇒ range ≈ 0.15 over ~200 samples;
+    # gyro ~0.0024 rad/s ⇒ range ≈ 0.013.
+    min_excite_a: float = 0.35  # m/s² range of measured accel over window
+    min_excite_w: float = 0.15  # rad/s range of measured gyro
 
 
 class DynInitInput(NamedTuple):
@@ -508,11 +514,15 @@ def initialize(inp: DynInitInput, opts: DynamicInitOptions) -> DynInitResult:
 
     n_obs = jnp.sum(inp.obs_mask)
     # excitation gate (see DynamicInitOptions.min_excite_*): either the
-    # specific force or the body rate must actually vary over the window
-    a_std = jnp.std(inp.imu_a.reshape(-1, 3), axis=0)
-    w_std = jnp.std(inp.imu_w.reshape(-1, 3), axis=0)
-    excited = ((jnp.linalg.norm(a_std) > opts.min_excite_a)
-               | (jnp.linalg.norm(w_std) > opts.min_excite_w))
+    # specific force or the body rate must actually vary over the window.
+    # Per-axis RANGE, not std — segment padding repeats the last sample
+    # and would deflate a std by the padding ratio.
+    a_flat = inp.imu_a.reshape(-1, 3)
+    w_flat = inp.imu_w.reshape(-1, 3)
+    a_rng = jnp.max(a_flat, axis=0) - jnp.min(a_flat, axis=0)
+    w_rng = jnp.max(w_flat, axis=0) - jnp.min(w_flat, axis=0)
+    excited = ((jnp.linalg.norm(a_rng) > opts.min_excite_a)
+               | (jnp.linalg.norm(w_rng) > opts.min_excite_w))
     success = (
         jnp.isfinite(cost)
         & (cost < cost0 + 1.0)

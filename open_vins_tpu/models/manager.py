@@ -232,7 +232,12 @@ def msckf_build(state: VioState, cfg: FilterConfig, table: ft.FeatureTable,
     selected = jnp.zeros_like(lost).at[rows].set(sel_valid, mode="drop")
     used = selected & ~is_slam
     dead_lost = lost & ~is_slam & (n_obs < 3)
-    table = ft.free_rows(table, dead_lost | used)
+    # zombie reaper: a consume-on-attempt row (measurements cleared, id
+    # kept) whose track then ENDS is unreachable by every other cleanup —
+    # lost_rows requires n_obs > 0 and ingest allocation requires id < 0 —
+    # so without this the table monotonically leaks capacity on long runs
+    zombie = (table.ids >= 0) & (~table.seen) & (n_obs == 0) & (~is_slam)
+    table = ft.free_rows(table, dead_lost | used | zombie)
 
     diag = StepDiag(
         n_msckf=jnp.sum(feat_ok.astype(jnp.int32)),

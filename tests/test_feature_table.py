@@ -115,5 +115,34 @@ def test_table_full_drops():
     assert got2["mask"][:, 1, 0].sum() == T
 
 
+def test_zombie_rows_reclaimed():
+    """A consume-on-attempt row (id kept, measurements cleared) whose track
+    then dies must be FREED by the msckf_build cleanup — it is unreachable
+    by every other path (lost_rows needs n_obs > 0, ingest allocation needs
+    id < 0), and without the reaper the table leaks capacity on long
+    replays (round-4 review finding)."""
+    import jax.numpy as jnp
+
+    from open_vins_tpu.core.layout import FilterConfig
+    from open_vins_tpu.models import manager
+    from open_vins_tpu.models import triangulation as tri
+
+    cfg = FilterConfig(max_clones=5, max_slam=0, num_cams=1,
+                       max_msckf_in_update=8)
+    state = manager.initialize_from_gt(
+        cfg, jnp.asarray([0.0, 0.0, 0.0, 1.0]), jnp.zeros(3), jnp.zeros(3),
+        jnp.zeros(3), jnp.zeros(3), 0.0,
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]]), jnp.zeros((1, 3)),
+        jnp.zeros((1, 8)),
+    )
+    table = ft.init_table(cfg, 16)
+    # zombie: id present, zero observations, not seen this frame
+    table = table._replace(ids=table.ids.at[3].set(7))
+    assert int(table.ids[3]) == 7
+    _, _, _, table2, _ = manager.msckf_build(
+        state, cfg, table, tri.TriangulationOptions())
+    assert int(table2.ids[3]) == -1, "zombie row not reclaimed"
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
