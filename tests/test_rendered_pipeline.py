@@ -144,8 +144,9 @@ def test_reference_rig_ate():
     the reference's published EuRoC mono ov_slam band (0.058–0.124 m,
     BASELINE.md / docs/eval-error.dox:244).  Images are rendered (not
     TrackSIM): the whole KLT → RANSAC → triangulation → MSCKF+SLAM chain
-    carries the error budget.  10 Hz keeps the CPU cost tractable; the
-    evidence is the resolution/feature-count/duration, not the frame rate.
+    carries the error budget, at the full 20 Hz frame rate (the round-4
+    gather-free KLT removed the old 10 Hz CPU-tractability concession —
+    the same pipeline runs 133 fps on the TPU bench).
     """
     from open_vins_tpu.eval import metrics
 
