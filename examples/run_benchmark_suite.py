@@ -349,6 +349,10 @@ def write_accuracy(path, results, align):
         "uncertainty it actually has.",
         "- RPE cells show `nan` where the groundtruth path is shorter than "
         "the segment length.",
+        "- Rows are single runs (seed 0).  Multi-run averages (3 seeds, "
+        "EuRoC) live in `results/suite/COMPARISON.md`, produced by the "
+        "`examples/error_comparison.py` consumer on the same folder tree — "
+        "V2_01's 3-run average is 0.175 m.",
         "",
     ]
 
