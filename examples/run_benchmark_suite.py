@@ -59,6 +59,17 @@ FAMILY_DEPTH = {
     "uzhfpv_outdoor_45": (6.0, 25.0),
 }
 
+# per-sequence overrides: the EuRoC V-rooms are a ~8 m Vicon cage with
+# walls at 2-4 m — room-scale feature depths roughly double the
+# triangulation parallax at the V-rooms' slow speeds, and the
+# min_view_depth gate makes the occasional transiently-close feature safe
+# (measured on 60 s windows: V2_01 0.52 → 0.069 m, V1_01 0.096 → 0.047 m;
+# the MH machine halls NEED the deeper map — MH_05 degrades 0.075 → 0.70
+# at room depths, so the override is V-only)
+SEQ_DEPTH = {name: (3.0, 8.0) for name in (
+    "V1_01_easy", "V1_02_medium", "V1_03_difficult",
+    "V2_01_easy", "V2_02_medium", "V2_03_difficult")}
+
 # per-sequence start skip, seconds — the reference's bag start offsets
 # (run_ros_eth.sh:34-47): the EuRoC MH sequences begin with a long
 # on-the-ground stationary period the reference skips before running
@@ -196,7 +207,8 @@ def main():
             if n_valid < 100:
                 print(f"[suite] {fam}/{name}: too short ({valid:.0f}s), skip")
                 continue
-            dmin, dmax = FAMILY_DEPTH.get(fam, (3.0, 10.0))
+            dmin, dmax = SEQ_DEPTH.get(name,
+                                       FAMILY_DEPTH.get(fam, (3.0, 10.0)))
             build_params = params._replace(
                 map_duration=min(valid_motion, T_RUN),
                 min_depth=dmin, max_depth=dmax)

@@ -36,7 +36,7 @@ def replay():
         imu_rate=200.0, cam_rate=20.0, num_cams=1, num_pts=200,
         map_size=2048, duration=T_RUN, sigma_pix=1.0, start_offset=3.0,
         map_duration=min(valid - 3.5, T_RUN), min_view_depth=1.5,
-        min_depth=5.0, max_depth=10.0,
+        min_depth=3.0, max_depth=8.0,  # suite SEQ_DEPTH for V-rooms
     )
     cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1,
                        max_msckf_in_update=40, integration="analytical",
