@@ -170,7 +170,12 @@ def main(argv=None):
         for _ in range(20):
             t0 = time.perf_counter()
             out, _ = chain(state, Hs, ress)
-            jax.block_until_ready(out.cov)
+            # tiny forced host transfer: block_until_ready through the
+            # remote tunnel has been observed to return without waiting
+            # (a 360-frame tracker run "timed" at 0.8 ms); a host read of
+            # one output is an unfakeable sync.  Cost ≈ one RTT amortized
+            # over the K-update chain.
+            _ = np.asarray(out.p).ravel()[0]
             lat.append((time.perf_counter() - t0) / K)
         p50_us = float(np.percentile(lat, 50)) * 1e6
         print(json.dumps({
@@ -195,7 +200,7 @@ def main(argv=None):
         t0 = time.time()
         for _ in range(reps):
             bstate, bouts = fil_ens(brun)
-        jax.block_until_ready(bstate.cov)
+            _ = np.asarray(bouts[1][0][-1])  # forced per-rep host sync
         agg_fps = B * n_frames / ((time.time() - t0) / reps)
         ps0 = np.array(bouts[1][0])
         rmse0 = float(np.sqrt(
@@ -243,7 +248,7 @@ def main(argv=None):
         reps = 3
         for _ in range(reps):
             tstate, counts = trk_fn(rsim)
-        jax.block_until_ready(counts)
+            _ = np.asarray(counts[-1])  # forced per-rep host sync
         # each rep processes n_track frames: the first_frame prime (render
         # + detection) plus the n_track-1 scan frames
         klt_fps = n_track / ((time.time() - t0) / reps)
@@ -270,7 +275,7 @@ def main(argv=None):
         t0 = time.time()
         for _ in range(reps):
             (rstate, _, _), routs = pipe_fn(rsim, rrun)
-        jax.block_until_ready(rstate.cov)
+            _ = np.asarray(routs[1][-1])  # forced per-rep host sync
         pipe_fps = rn_frames / ((time.time() - t0) / reps)
         rps = np.array(routs[1])
         rgt = np.array(rrun.gt_p)[1:]
@@ -315,7 +320,7 @@ def main(argv=None):
         t0 = time.time()
         for _ in range(reps):
             lstate, louts = lfil(lsim, lrun)
-        jax.block_until_ready(lstate.cov)
+            _ = np.asarray(louts[1][-1])  # forced per-rep host sync
         l_fps = ln / ((time.time() - t0) / reps)
         lps = np.array(louts[1])
         lgt = np.array(lrun.gt_p)[1:]
@@ -335,7 +340,7 @@ def main(argv=None):
     t0 = time.time()
     for _ in range(reps):
         state, outs = fil(run)
-    jax.block_until_ready(state.cov)
+        _ = np.asarray(outs[1][-1])  # forced per-rep host sync
     dt = (time.time() - t0) / reps
     fps = n_frames / dt
 
