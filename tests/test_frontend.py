@@ -210,6 +210,49 @@ class TestRansac:
         good = np.setdiff1d(np.arange(n), bad)
         assert inl[good].mean() > 0.9, "inliers rejected"
 
+    def test_eight_point_matches_svd(self):
+        """The matmul-only nullspace + closed-form rank-2 projection must
+        reproduce the SVD 8-point solution (the custom-call-free path is
+        what runs on TPU — batched svd serializes there)."""
+        rng = np.random.default_rng(11)
+        for trial in range(10):
+            X = rng.uniform(-2, 2, size=(8, 3)) + np.array([0, 0, 6.0])
+            t = rng.normal(size=3) * 0.3
+            p0 = (X[:, :2] / X[:, 2:3]).astype(np.float32)
+            X2 = X - t
+            p1 = (X2[:, :2] / X2[:, 2:3]).astype(np.float32)
+            p1 += rng.normal(size=p1.shape).astype(np.float32) * 1e-4
+            F = np.array(ransac._eight_point(jnp.asarray(p0),
+                                             jnp.asarray(p1)))
+            # SVD oracle with the same Hartley normalization
+            def hartley(p):
+                c = p.mean(0)
+                d = p - c
+                s = np.sqrt(2.0) / np.linalg.norm(d, axis=1).mean()
+                T = np.array([[s, 0, -s * c[0]], [0, s, -s * c[1]],
+                              [0, 0, 1.0]])
+                return s * d, T
+            q0, T0 = hartley(p0.astype(np.float64))
+            q1, T1 = hartley(p1.astype(np.float64))
+            x0, y0 = q0[:, 0], q0[:, 1]
+            x1, y1 = q1[:, 0], q1[:, 1]
+            A = np.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1,
+                          x0, y0, np.ones_like(x0)], axis=1)
+            _, _, Vt = np.linalg.svd(A)
+            Fs = Vt[-1].reshape(3, 3)
+            U, S, Vt2 = np.linalg.svd(Fs)
+            Fs = (U * np.array([S[0], S[1], 0.0])[None]) @ Vt2
+            Fs = T1.T @ Fs @ T0
+            Fn = F / np.linalg.norm(F)
+            Fsn = Fs / np.linalg.norm(Fs)
+            if np.sum(Fn * Fsn) < 0:
+                Fsn = -Fsn
+            err = np.abs(Fn - Fsn).max()
+            assert err < 5e-3, f"trial {trial}: 8-point mismatch {err}"
+            # rank-2 actually enforced
+            s = np.linalg.svd(Fn, compute_uv=False)
+            assert s[2] < 1e-4 * s[0], f"trial {trial}: rank-2 not enforced"
+
     def test_few_points_passthrough(self):
         p = jnp.asarray(np.random.default_rng(0).normal(size=(20, 2)),
                         jnp.float32)
