@@ -281,9 +281,11 @@ def main(argv=None):
         rgt = np.array(rrun.gt_p)[1:]
         r_rmse = float(np.sqrt(((rps - rgt) ** 2).sum(1).mean()))
         # rendered gate is its own band: the KLT front-end carries the whole
-        # error budget here (no TrackSIM shortcut), measured ~0.047 m on
-        # this 8 s stereo loop — gate at ~2x so a seed wobble cannot zero
-        # the metric while a real divergence (>>0.1 m) still trips it
+        # error budget here (no TrackSIM shortcut), measured 0.047-0.074 m
+        # on this 8 s stereo loop across front-end variants (the 30 s
+        # reference-rig gate is the calibrated accuracy check, se3 ATE
+        # 0.029 m) — gate above the observed band so a seed wobble cannot
+        # zero the metric while a real divergence (>>0.1 m) still trips it
         r_ok = (np.isfinite(np.array(rstate.cov)).all()
                 and r_rmse < 0.09)
         print(json.dumps({
