@@ -146,7 +146,7 @@ def test_reference_rig_ate():
     TrackSIM): the whole KLT → RANSAC → triangulation → MSCKF+SLAM chain
     carries the error budget, at the full 20 Hz frame rate (the round-4
     gather-free KLT removed the old 10 Hz CPU-tractability concession —
-    the same pipeline runs 133 fps on the TPU bench).
+    the same tracker runs 278 fps on the TPU bench, 218 fps images→pose).
     """
     from open_vins_tpu.eval import metrics
 
