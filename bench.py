@@ -42,6 +42,18 @@ os.environ.setdefault("OVT_JAX_CACHE", os.path.expanduser("~/.cache/ovt_tpu_cach
 RMSE_GATE_M = 0.05
 
 
+def _sync(x):
+    """Unfakeable warmup/stage sync: a tiny forced host transfer.
+
+    `jax.block_until_ready` through the remote tunnel has been observed to
+    return WITHOUT waiting (CLAUDE.md measurement rule); reading one element
+    back on the host cannot be faked and costs one RTT.
+    """
+    import numpy as _np
+    _np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x)
+
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -88,12 +100,12 @@ def main(argv=None):
         traj = trajectories.load_trajectory_file(gore)
     sim = simulator.build(params, seed=0, traj=traj)
     run = runner.stage_run(sim, params)
-    jax.block_until_ready(run.frames.uv)
+    _sync(run.frames.uv)
 
     fil = jax.jit(lambda r: runner.run_filter(cfg, tri_opts, sim, params, r,
                                               max_tracks=384))
     state, outs = fil(run)
-    jax.block_until_ready(state.cov)  # compile + warmup
+    _sync(state.cov)  # compile + warmup
 
     # --- accuracy + consistency of the benched run (health gate inputs).
     # Error convention (CLAUDE.md): δp = gt − est, δθ = −log(R_gt R_estᵀ).
@@ -165,7 +177,7 @@ def main(argv=None):
             return jax.lax.scan(body, st, (Hs, ress))
 
         out, _ = chain(state, Hs, ress)
-        jax.block_until_ready(out.cov)
+        _sync(out.cov)
         lat = []
         for _ in range(20):
             t0 = time.perf_counter()
@@ -195,7 +207,7 @@ def main(argv=None):
             lambda r: runner.run_filter(cfg, tri_opts, sim, params, r,
                                         max_tracks=384)))
         bstate, bouts = fil_ens(brun)
-        jax.block_until_ready(bstate.cov)  # compile + warmup
+        _sync(bstate.cov)  # compile + warmup
         reps = 3
         t0 = time.time()
         for _ in range(reps):
@@ -243,7 +255,7 @@ def main(argv=None):
         trk_fn = jax.jit(lambda s: runner.run_tracker_rendered(
             s, rparams, kparams, n_track))
         tstate, counts = trk_fn(rsim)
-        jax.block_until_ready(counts)
+        _sync(counts)
         t0 = time.time()
         reps = 3
         for _ in range(reps):
@@ -264,13 +276,13 @@ def main(argv=None):
         }))
 
         rrun = runner.stage_run(rsim, rparams)
-        jax.block_until_ready(rrun.frames.uv)
+        _sync(rrun.frames.uv)
         rcfg = FilterConfig(max_clones=11, max_slam=25, num_cams=2,
                             max_msckf_in_update=40, integration="analytical")
         pipe_fn = jax.jit(lambda s, r: runner.run_filter_rendered(
             rcfg, tri_opts, s, rparams, r, kparams, max_tracks=384))
         (rstate, _, _), routs = pipe_fn(rsim, rrun)
-        jax.block_until_ready(rstate.cov)
+        _sync(rstate.cov)
         rn_frames = simulator.n_cam_frames(rparams) - 1
         t0 = time.time()
         for _ in range(reps):
@@ -313,11 +325,11 @@ def main(argv=None):
                             integration="analytical", joint_update_form="qr")
         lsim = simulator.build(lparams, seed=0, traj=traj)
         lrun = runner.stage_run(lsim, lparams)
-        jax.block_until_ready(lrun.frames.uv)
+        _sync(lrun.frames.uv)
         lfil = jax.jit(lambda s, r: runner.run_filter(
             lcfg, tri_opts, s, lparams, r, max_tracks=768))
         lstate, louts = lfil(lsim, lrun)
-        jax.block_until_ready(lstate.cov)
+        _sync(lstate.cov)
         ln = simulator.n_cam_frames(lparams) - 1
         t0 = time.time()
         for _ in range(reps):

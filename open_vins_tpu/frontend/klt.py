@@ -278,6 +278,14 @@ def track(img0, img1, pts0, params: KltParams, initial_flow=None):
     calcOpticalFlowPyrLK call (TrackKLT.cpp:829-886) with initial-flow
     warm start.
     """
+    if 0 < params.iter_margin < 3:
+        # the local-path ok-gate is `maxexc < iter_margin - 1`: margin 1
+        # silently drops EVERY track (gate < 0 px) and margin 2 allows
+        # under 1 px of refinement — neither is a usable configuration
+        raise ValueError(
+            f"iter_margin={params.iter_margin}: use 0 (exact full-image "
+            "path) or >= 3 (patch-local path needs >= 2 px of usable "
+            "excursion before its margin gate)")
     L = params.num_pyr
     pyr0 = build_pyramid(img0, L)
     pyr1 = build_pyramid(img1, L)

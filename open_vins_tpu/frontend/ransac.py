@@ -17,9 +17,13 @@ import jax.numpy as jnp
 
 from open_vins_tpu.ops import smallmat
 
-# fixed inverse-iteration seed (any unit vector not orthogonal to the
-# nullspace; f32 noise re-seeds the null component even in the
-# measure-zero orthogonal case, and 3 Minv applies amplify it ~1e9x)
+# fixed projection seed for _null9's CGS2 row-complement: the seed only
+# needs a non-negligible component along the nullspace direction (it is
+# projected onto the orthogonal complement of A's rows, then normalized).
+# In the measure-zero case where a hypothesis' nullvector is ~orthogonal
+# to the seed, the projected residual is f32-noise-sized, the normalized
+# result is garbage, and that hypothesis simply loses the RANSAC inlier
+# vote — no filter-path consequence.
 _SEED9 = (0.31, -0.47, 0.22, 0.55, -0.13, 0.41, -0.29, 0.17, 0.23)
 
 

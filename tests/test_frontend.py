@@ -117,6 +117,33 @@ class TestKlt:
         err = np.abs(flow - np.array([dx, dy])).max(axis=1)
         assert np.median(err) < 0.25, f"median flow err {np.median(err)}"
 
+    def test_patch_local_matches_full_image_path(self):
+        # the iter_margin=0 full-image path is the equivalence oracle for
+        # the patch-local default (klt.py KltParams.iter_margin docstring);
+        # on a moderate shift the two must agree on the surviving tracks
+        img0 = texture(seed=3)
+        dx, dy = 4.2, -2.6
+        img1 = shift_image(img0, dx, dy)
+        pts, ok = klt.detect_grid(img0, jnp.zeros((1, 2)), jnp.zeros(1, bool),
+                                  PARAMS, 40)
+        p_full = PARAMS._replace(iter_margin=0)
+        pts_f, ok_f = klt.track(img0, img1, pts, p_full)
+        pts_l, ok_l = klt.track(img0, img1, pts, PARAMS)
+        both = np.array(ok & ok_f & ok_l)
+        assert both.sum() > 15
+        d = np.linalg.norm(np.array(pts_f - pts_l)[both], axis=1)
+        assert np.median(d) < 0.05, f"paths disagree: median {np.median(d)}"
+        # the local path may only drop tracks the full path also finds
+        # marginal — it must keep the vast majority
+        assert int(np.array(ok & ok_l).sum()) >= 0.8 * int(np.array(ok & ok_f).sum())
+
+    def test_small_iter_margin_rejected(self):
+        img = texture(seed=4)
+        pts = jnp.zeros((4, 2)) + 30.0
+        for m in (1, 2):
+            with pytest.raises(ValueError, match="iter_margin"):
+                klt.track(img, img, pts, PARAMS._replace(iter_margin=m))
+
     def test_large_motion_with_pyramid(self):
         img0 = texture(seed=1)
         dx, dy = 18.0, 11.0
