@@ -13,7 +13,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("OVT_JAX_CACHE", os.path.expanduser("~/.cache/ovt_tpu_cache"))
+# per-platform compile cache set in main() — never share a dir between CPU
+# and the remote tunnel backend (SIGILL-poisoned AOT artifacts)
 
 
 def main():
@@ -23,6 +24,10 @@ def main():
     ap.add_argument("--duration", type=float, default=10.0)
     args = ap.parse_args()
 
+    os.environ.setdefault(
+        "OVT_JAX_CACHE",
+        os.path.expanduser("~/.cache/ovt_cpu_test_cache" if args.cpu
+                           else "~/.cache/ovt_tpu_cache"))
     import jax
 
     if args.cpu:

@@ -129,6 +129,7 @@ def sequence_paths(families):
 
 
 def main():
+    global T_RUN, N_CTRL
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/suite")
     ap.add_argument("--families", default=",".join(FAMILIES))
@@ -139,7 +140,18 @@ def main():
     ap.add_argument("--align", default="posyaw")
     ap.add_argument("--accuracy", default="",
                     help="write the ACCURACY.md table to this path")
+    ap.add_argument("--t-run", type=float, default=T_RUN,
+                    help="replay schedule length in seconds (default 180; "
+                         "short values are for smoke tests — metrics are "
+                         "only comparable at the full schedule)")
+    ap.add_argument("--rendered", default="",
+                    help="comma list of sequences to ALSO replay through "
+                         "the rendered images->KLT->RANSAC->filter "
+                         "pipeline (no TrackSIM shortcut); 'default3' = "
+                         "V1_01_easy,V2_02_medium,MH_01_easy")
     args = ap.parse_args()
+    T_RUN = args.t_run
+    N_CTRL = int(round((START_OFFSET + T_RUN + 3.0) / DT_CTRL))
 
     import jax
 
@@ -286,20 +298,121 @@ def main():
                   f"o{rec['nees_ori']:.1f}, {valid_motion:.0f}s, "
                   f"{fps:.0f} fps" + ("" if finite else "  ** NON-FINITE **"))
 
+    # --- rendered images→pose replay (VERDICT r04 missing #1): the SAME
+    # real corpus trajectories, but each frame is rendered into a 752×480
+    # image and pushed through the REAL front-end (render → KLT → RANSAC →
+    # filter, runner.run_filter_rendered) — no TrackSIM shortcut; the
+    # tracker carries the whole measurement-noise budget.
+    rendered_results = []
+    if args.rendered:
+        from open_vins_tpu.frontend import klt as klt_mod
+        rseqs = (["V1_01_easy", "V2_02_medium", "MH_01_easy"]
+                 if args.rendered == "default3"
+                 else [s for s in args.rendered.split(",") if s])
+        rlook = {n: (f, p) for f, n, p in sequence_paths(list(FAMILIES))}
+        kparams = klt_mod.KltParams(num_features=200, num_pyr=4,
+                                    grid_x=20, grid_y=15)
+        rpipe = jax.jit(lambda sim, run: runner.run_filter_rendered(
+            cfg, tri_opts, sim, params, run, kparams, max_tracks=384))
+        rcompiled = False
+        for name in rseqs:
+            if name not in rlook:
+                print(f"[suite] rendered: unknown sequence {name}",
+                      file=sys.stderr)
+                continue
+            fam, path = rlook[name]
+            t_skip = SEQ_SKIP.get(name, 0.0)
+            t_skip += motion_skip(path, t_skip, START_OFFSET)
+            traj, valid = trajectories.load_trajectory_padded(
+                path, N_CTRL, dt=DT_CTRL, t_skip=t_skip)
+            valid_motion = valid - START_OFFSET - TAIL_MARGIN
+            n_valid = min(int(valid_motion * params.cam_rate), n_frames)
+            dmin, dmax = SEQ_DEPTH.get(name,
+                                       FAMILY_DEPTH.get(fam, (3.0, 10.0)))
+            # sigma_pix=0: every pixel of measurement error comes from the
+            # tracker itself (the point of the exercise)
+            build_params = params._replace(
+                map_duration=min(valid_motion, T_RUN),
+                min_depth=dmin, max_depth=dmax, sigma_pix=0.0)
+            with jax.default_device(cpu0):
+                sim = simulator.build(build_params, seed=0, traj=traj)
+                run = stage(sim, params)
+                jax.block_until_ready(run.frames.uv)
+            if on_tpu:
+                sim = jax.device_put(sim, dev0)
+                run = jax.device_put(run, dev0)
+            t0 = time.time()
+            (state, _tb, _tk), outs = rpipe(sim, run)
+            _ = np.asarray(outs[1]).ravel()[-1]  # forced host sync
+            t_first = time.time() - t0
+            if not rcompiled:
+                rcompiled = True
+                print(f"[suite] rendered pipeline compiled+ran in "
+                      f"{t_first:.0f}s (one compile for all rendered seqs)")
+            t0 = time.time()
+            (state, _tb, _tk), outs = rpipe(sim, run)
+            _ = np.asarray(outs[1]).ravel()[-1]
+            fps = n_frames / (time.time() - t0)
+
+            qs, ps, vs, covs6, diag = outs
+            sl = slice(0, n_valid)
+            ps_v = np.array(ps)[sl]
+            qs_v = np.array(qs)[sl]
+            gt_p = np.array(run.gt_p)[1:][sl]
+            gt_q = np.array(run.gt_q)[1:][sl]
+            cov6 = np.array(covs6)[sl]
+            R_est = np.array(jax.vmap(lie.quat_2_rot)(jnp.asarray(qs_v)))
+            R_gt = np.array(jax.vmap(lie.quat_2_rot)(jnp.asarray(gt_q)))
+            R_est_b2g = np.swapaxes(R_est, -1, -2)
+            R_gt_b2g = np.swapaxes(R_gt, -1, -2)
+            o_stats, p_stats = metrics.ate(ps_v, R_est_b2g, gt_p, R_gt_b2g,
+                                           method=args.align)
+            o_se3, p_se3 = metrics.ate(ps_v, R_est_b2g, gt_p, R_gt_b2g,
+                                       method="se3")
+            st_o, st_p, _ = metrics.nees(ps_v, R_est, gt_p, R_gt, cov6)
+            finite = bool(np.isfinite(np.array(state.cov)).all())
+            ts = (np.arange(n_valid) + 1) / params.cam_rate
+            ds_dir = os.path.join(args.out, "algorithms", "ovt_rendered",
+                                  name)
+            os.makedirs(ds_dir, exist_ok=True)
+            traj_io.save_tum(os.path.join(ds_dir, "run0.txt"), ts, ps_v,
+                             traj_io.rot_to_quat_xyzw(R_est_b2g))
+            rec = {
+                "family": fam, "dataset": name, "seed": 0,
+                "mode": "rendered",
+                "valid_s": round(valid_motion, 1), "n_frames": n_valid,
+                "ate_deg": round(o_stats.rmse, 3),
+                "ate_m": round(p_stats.rmse, 4),
+                "ate_se3_m": round(p_se3.rmse, 4),
+                "nees_pos": round(st_p.mean, 2),
+                "nees_ori": round(st_o.mean, 2),
+                "fps": round(fps, 1), "finite": finite,
+                "align": args.align,
+            }
+            rendered_results.append(rec)
+            print(f"[suite] RENDERED {fam}/{name}: ATE {rec['ate_deg']:.3f} "
+                  f"deg / {rec['ate_m']:.3f} m ({args.align}), se3 "
+                  f"{rec['ate_se3_m']:.3f} m, NEES p{rec['nees_pos']:.1f}/"
+                  f"o{rec['nees_ori']:.1f}, {fps:.0f} fps"
+                  + ("" if finite else "  ** NON-FINITE **"))
+
     out_json = os.path.join(args.out, "SUITE_RESULTS.json")
     with open(out_json, "w") as f:
         json.dump({"operating_point": "200pts/11clones/50slam/40msckf "
                                       "mono sigma_pix=1",
-                   "align": args.align, "results": results}, f, indent=1)
-    print(f"[suite] wrote {out_json} ({len(results)} runs)")
+                   "align": args.align, "results": results,
+                   "rendered_results": rendered_results}, f, indent=1)
+    print(f"[suite] wrote {out_json} ({len(results)} runs, "
+          f"{len(rendered_results)} rendered)")
 
     if args.accuracy:
-        write_accuracy(args.accuracy, results, args.align)
+        write_accuracy(args.accuracy, results, args.align,
+                       rendered=rendered_results)
         print(f"[suite] wrote {args.accuracy}")
     return 0
 
 
-def write_accuracy(path, results, align):
+def write_accuracy(path, results, align, rendered=None):
     import numpy as np
 
     by_fam = {}
@@ -325,10 +438,36 @@ def write_accuracy(path, results, align):
         "matched IMU/pixel noise through the simulator front-end (the "
         "reference's own run_simulation regression methodology), so they "
         "measure estimator accuracy on identical motion, not image-tracking "
-        "robustness.  Rendered-image closed loops are covered separately "
-        "(tests/test_rendered_pipeline.py and the bench KLT metrics).",
+        "robustness.  The **images→pose** section below closes that gap: "
+        "the same real trajectories rendered into 752×480 frames and "
+        "replayed through the full render→KLT→RANSAC→filter pipeline "
+        "(`--rendered`, no TrackSIM shortcut — the tracker carries the "
+        "entire measurement-noise budget).",
         "",
     ]
+    if rendered:
+        lines += [
+            "## images→pose (rendered replay, real trajectories, "
+            "full KLT front-end)",
+            "",
+            "| sequence | span (s) | ATE deg / m | ATE se3 m | "
+            "pose NEES (p/o) | fps (1 chip) | sim-replay ATE m | "
+            "reference real-data ATE m |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        sim_rows = {r["dataset"]: r for r in results if r["seed"] == 0}
+        for r in rendered:
+            simate = sim_rows.get(r["dataset"], {}).get("ate_m")
+            ref = REFERENCE_PUBLISHED["mono_ov_vio"].get(r["dataset"])
+            lines.append(
+                f"| {r['dataset']} | {r['valid_s']} | "
+                f"{r['ate_deg']:.3f} / {r['ate_m']:.3f} | "
+                f"{r['ate_se3_m']:.3f} | "
+                f"{r['nees_pos']:.1f} / {r['nees_ori']:.1f} | "
+                f"{r['fps']:.0f} | "
+                f"{simate if simate is not None else '-'} | "
+                f"{ref[1] if ref else '-'} |")
+        lines.append("")
     for fam, rows in by_fam.items():
         lines.append(f"## {fam}")
         lines.append("")

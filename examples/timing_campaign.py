@@ -34,7 +34,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("OVT_JAX_CACHE", os.path.expanduser("~/.cache/ovt_tpu_cache"))
+# per-platform compile cache set in main() — never share a dir between CPU
+# and the remote tunnel backend (SIGILL-poisoned AOT artifacts)
 
 
 def device_time_from_xplane(trace_dir):
@@ -89,6 +90,10 @@ def main():
                     help="force CPU backend (smoke test)")
     args = ap.parse_args()
 
+    os.environ.setdefault(
+        "OVT_JAX_CACHE",
+        os.path.expanduser("~/.cache/ovt_cpu_test_cache" if args.cpu
+                           else "~/.cache/ovt_tpu_cache"))
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
