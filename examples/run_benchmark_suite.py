@@ -116,6 +116,107 @@ REFERENCE_PUBLISHED = {
 from open_vins_tpu.sim.trajectories import motion_skip  # noqa: E402
 
 
+def auto_init_state(run, sim, cfg, params, max_search_s=40.0):
+    """Host-side routed initialization on the STAGED streams (no images).
+
+    Mirrors run_euroc.py's init loop: accumulate cam-0 track history frame
+    by frame, compute the two half-window disparities, route static vs
+    dynamic, and attempt until success (synchronous — a replay loses no
+    frames, so the background thread + catch-up of the live path is a
+    no-op here).  Returns (state0, k0, kind, t_init) with `k0` the first
+    frames-array index to PROCESS (state0.t == run.frames.t_new[k0-1]),
+    or None if nothing initializes within `max_search_s`.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_vins_tpu.init import router
+    from open_vins_tpu.models import manager
+    from open_vins_tpu.ops import lie
+
+    ids = np.array(run.frames.ids)[:, 0]
+    uv = np.array(run.frames.uv)[:, 0]
+    uvn = np.array(run.frames.uvn)[:, 0]
+    mask = np.array(run.frames.mask)[:, 0]
+    t_new = np.array(run.frames.t_new)
+    wt = np.array(run.frames.win.t)
+    ww = np.array(run.frames.win.w)
+    wa = np.array(run.frames.win.a)
+    imu_t = np.concatenate([wt[:, :-1].reshape(-1), wt[-1, -1:]])
+    imu_w = np.concatenate([ww[:, :-1].reshape(-1, 3), ww[-1:, -1]])
+    imu_a = np.concatenate([wa[:, :-1].reshape(-1, 3), wa[-1:, -1]])
+
+    def make_window(t0, t1, K):
+        # SensorHub::make_window contract (native/sensor_hub.cpp): K+1
+        # rows in [t0, t1], padded by repeating the last (dt=0 no-ops)
+        sel = (imu_t >= t0 - 1e-6) & (imu_t <= t1 + 1e-6)
+        t, w, a = imu_t[sel], imu_w[sel], imu_a[sel]
+        n = min(len(t), K + 1)
+        T = np.full((K + 1,), t[n - 1] if n else 0.0)
+        W = np.zeros((K + 1, 3))
+        A = np.zeros((K + 1, 3))
+        if n:
+            T[:n] = t[:n]
+            W[:n] = w[:n]
+            A[:n] = a[:n]
+            W[n:] = w[n - 1]
+            A[n:] = a[n - 1]
+        return n, T, W, A
+
+    ropts = router.RouterOptions(window_time=1.0, imu_thresh=1.0)
+    w = ropts.window_time
+    imu_t_j = jnp.asarray(imu_t, jnp.float32)
+    imu_w_j = jnp.asarray(imu_w, jnp.float32)
+    imu_a_j = jnp.asarray(imu_a, jnp.float32)
+    hist = {}
+    calib_q = jax.vmap(lie.rot_2_quat)(sim.cam_R_ItoC)
+    for k in range(len(t_new)):
+        tk = float(t_new[k])
+        if tk > max_search_s:
+            break
+        for i in np.where(mask[k])[0]:
+            h = hist.setdefault(int(ids[k, i]), ([], [], []))
+            h[0].append(tk)
+            h[1].append(uv[k, i])
+            h[2].append(uvn[k, i])
+        if k < 8 or tk < 2.0 * w:
+            continue
+        ts_l = [v[0] for v in hist.values()]
+        px_l = [v[1] for v in hist.values()]
+        d1 = router.average_disparity(px_l, ts_l, tk - 2 * w, tk - w)
+        d2 = router.average_disparity(px_l, ts_l, tk - w, tk)
+        use_static, use_dynamic = router.decide(ropts, d1, d2)
+        dyn_input = None
+        if use_dynamic:
+            P = 6
+            stride = max(1, int(round(2 * w * params.cam_rate / (P - 1))))
+            pose_ks = list(range(max(0, k - stride * (P - 1)), k + 1,
+                                 stride))[-P:]
+            t_poses = [float(t_new[j]) for j in pose_ks]
+            hist_n = {fid: (ts, uvns) for fid, (ts, _, uvns)
+                      in hist.items()}
+            dyn_input = router.build_dyn_input(
+                hist_n, t_poses, make_window,
+                np.asarray(sim.cam_R_ItoC[0]), np.asarray(sim.cam_p_IinC[0]),
+                K=int(params.imu_rate * 2 * w
+                      / max(len(t_poses) - 1, 1)) + 4)
+        kind, res = router.try_initialize(
+            ropts, imu_t_j, imu_w_j, imu_a_j, tk, d1, d2,
+            dyn_input=dyn_input)
+        if kind == "none":
+            continue
+        if kind == "static":
+            st0 = manager.initialize_from_gt(
+                cfg, res.q_GtoI, jnp.zeros(3), jnp.zeros(3), res.bg,
+                res.ba, tk, calib_q, sim.cam_p_IinC, sim.cam_intr)
+        else:
+            st0 = manager.initialize_from_dynamic(
+                cfg, res, tk, calib_q, sim.cam_p_IinC, sim.cam_intr)
+        return st0, k + 1, kind, tk
+    return None
+
+
 def sequence_paths(families):
     out = []
     for fam in families:
@@ -135,6 +236,8 @@ def main():
     ap.add_argument("--families", default=",".join(FAMILIES))
     ap.add_argument("--quick", action="store_true",
                     help="V1_01 + room1 + indoor_forward_5 only")
+    ap.add_argument("--only", default="",
+                    help="comma list: restrict to these sequence names")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--align", default="posyaw")
@@ -144,6 +247,12 @@ def main():
                     help="replay schedule length in seconds (default 180; "
                          "short values are for smoke tests — metrics are "
                          "only comparable at the full schedule)")
+    ap.add_argument("--init", default="gt", choices=["gt", "auto"],
+                    help="auto: ADDITIONALLY replay each sequence (seed 0) "
+                         "starting from the build's own static/dynamic "
+                         "initialization (init/router) instead of "
+                         "groundtruth — the reference's eval protocol "
+                         "(InertialInitializer.cpp:104-158)")
     ap.add_argument("--rendered", default="",
                     help="comma list of sequences to ALSO replay through "
                          "the rendered images->KLT->RANSAC->filter "
@@ -187,6 +296,9 @@ def main():
         keep = {"V1_01_easy", "dataset-room1_512_16",
                 "indoor_forward_5_snapdragon_with_gt"}
         seqs = [s for s in seqs if s[1] in keep]
+    if args.only:
+        only = set(args.only.split(","))
+        seqs = [s for s in seqs if s[1] in only]
     if not seqs:
         print("no sequences found")
         return 1
@@ -202,6 +314,11 @@ def main():
     # the ONE filter program every sequence runs through
     fil = jax.jit(lambda sim, run: runner.run_filter(
         cfg, tri_opts, sim, params, run, max_tracks=384))
+    # --init auto: the same frames from the build's OWN initialization
+    # (k0 is a traced scalar — one compile serves every init frame)
+    fil_auto = jax.jit(lambda sim, run, st0, k0: runner.run_filter_from(
+        cfg, tri_opts, sim, params, run, st0, k0, max_tracks=384))
+    auto_results = []
 
     os.makedirs(os.path.join(args.out, "truths"), exist_ok=True)
     n_frames = simulator.n_cam_frames(params) - 1
@@ -297,6 +414,50 @@ def main():
                   f"{rec['ate_se3_m']:.3f} m, NEES p{rec['nees_pos']:.1f}/"
                   f"o{rec['nees_ori']:.1f}, {valid_motion:.0f}s, "
                   f"{fps:.0f} fps" + ("" if finite else "  ** NON-FINITE **"))
+
+            if args.init == "auto" and seed == 0:
+                with jax.default_device(cpu0):
+                    ai = auto_init_state(run, sim, cfg, params)
+                if ai is None:
+                    print(f"[suite] {name}: auto-init did not converge "
+                          "within the search window")
+                    auto_results.append({"family": fam, "dataset": name,
+                                         "init": "failed"})
+                elif n_valid - (ai[1] + 1) < 100:
+                    print(f"[suite] {name}: auto-init too late "
+                          f"(k0={ai[1]}) for scoring")
+                else:
+                    st0, k0, kind, t_init = ai
+                    if on_tpu:
+                        st0 = jax.device_put(st0, dev0)
+                    astate, aouts = fil_auto(
+                        sim, run, st0, jnp.asarray(k0, jnp.int32))
+                    _ = np.asarray(aouts[1]).ravel()[-1]
+                    asl = slice(k0, n_valid)
+                    aps = np.array(aouts[1])[asl]
+                    aqs = np.array(aouts[0])[asl]
+                    agt_p = np.array(run.gt_p)[1:][asl]
+                    agt_q = np.array(run.gt_q)[1:][asl]
+                    aR_e = np.array(jax.vmap(lie.quat_2_rot)(
+                        jnp.asarray(aqs)))
+                    aR_g = np.array(jax.vmap(lie.quat_2_rot)(
+                        jnp.asarray(agt_q)))
+                    ao, ap_st = metrics.ate(
+                        aps, np.swapaxes(aR_e, -1, -2), agt_p,
+                        np.swapaxes(aR_g, -1, -2), method=args.align)
+                    afin = bool(np.isfinite(np.array(astate.cov)).all())
+                    arec = {"family": fam, "dataset": name, "init": kind,
+                            "t_init_s": round(t_init, 2),
+                            "ate_deg": round(ao.rmse, 3),
+                            "ate_m": round(ap_st.rmse, 4),
+                            "gt_init_ate_m": rec["ate_m"],
+                            "finite": afin, "align": args.align}
+                    auto_results.append(arec)
+                    print(f"[suite] AUTO-INIT {name}: {kind} at "
+                          f"t={t_init:.1f}s, ATE {ao.rmse:.3f} deg / "
+                          f"{ap_st.rmse:.3f} m (gt-init "
+                          f"{rec['ate_m']:.3f} m)"
+                          + ("" if afin else "  ** NON-FINITE **"))
 
     # --- rendered images→pose replay (VERDICT r04 missing #1): the SAME
     # real corpus trajectories, but each frame is rendered into a 752×480
@@ -401,18 +562,19 @@ def main():
         json.dump({"operating_point": "200pts/11clones/50slam/40msckf "
                                       "mono sigma_pix=1",
                    "align": args.align, "results": results,
-                   "rendered_results": rendered_results}, f, indent=1)
+                   "rendered_results": rendered_results,
+                   "auto_init_results": auto_results}, f, indent=1)
     print(f"[suite] wrote {out_json} ({len(results)} runs, "
-          f"{len(rendered_results)} rendered)")
+          f"{len(rendered_results)} rendered, {len(auto_results)} auto-init)")
 
     if args.accuracy:
         write_accuracy(args.accuracy, results, args.align,
-                       rendered=rendered_results)
+                       rendered=rendered_results, auto=auto_results)
         print(f"[suite] wrote {args.accuracy}")
     return 0
 
 
-def write_accuracy(path, results, align, rendered=None):
+def write_accuracy(path, results, align, rendered=None, auto=None):
     import numpy as np
 
     by_fam = {}
@@ -445,6 +607,29 @@ def write_accuracy(path, results, align, rendered=None):
         "entire measurement-noise budget).",
         "",
     ]
+    if auto:
+        lines += [
+            "## corpus accuracy under real initialization (`--init auto`)",
+            "",
+            "Same frames, but the filter starts from the build's own "
+            "static/dynamic initialization (`init/router` — the "
+            "reference's eval protocol, InertialInitializer.cpp:104-158) "
+            "instead of groundtruth; scored from the init frame on.",
+            "",
+            "| sequence | init kind | t_init (s) | ATE deg / m | "
+            "gt-init ATE m |",
+            "|---|---|---|---|---|",
+        ]
+        for r in auto:
+            if r.get("init") == "failed":
+                lines.append(f"| {r['dataset']} | (no convergence) | - | "
+                             "- | - |")
+            else:
+                lines.append(
+                    f"| {r['dataset']} | {r['init']} | {r['t_init_s']} | "
+                    f"{r['ate_deg']:.3f} / {r['ate_m']:.3f} | "
+                    f"{r['gt_init_ate_m']:.3f} |")
+        lines.append("")
     if rendered:
         lines += [
             "## images→pose (rendered replay, real trajectories, "

@@ -98,6 +98,45 @@ def run_filter(cfg: FilterConfig, tri_opts: tri.TriangulationOptions,
     return state, outs
 
 
+def run_filter_from(cfg: FilterConfig, tri_opts: tri.TriangulationOptions,
+                    sim, params, run: SimRun, state0, k0,
+                    max_tracks: int = 256):
+    """`run_filter`, but from a PROVIDED initial state at frame index k0.
+
+    The real-initialization replay entry (the reference starts its eval
+    runs from its own static/dynamic init, InertialInitializer.cpp:104-158
+    → VioManagerHelper.cpp:78-188): `state0` comes from `init/router`
+    instead of groundtruth.  Frames with scan index < k0 are exact no-ops
+    behind a `lax.cond` (the scan is not vmapped, so only the taken branch
+    executes); the first processed frame's IMU window starts at
+    `run.frames.t_new[k0-1]`, which must equal `state0.t`.  `k0` may be a
+    traced scalar — one compiled program serves any init frame.
+
+    Returns (final_state, per-frame (q, p, v, cov6)) — no StepDiag (the
+    skip branch has no cheap way to fabricate one).
+    """
+    table = ft.init_table(cfg, max_tracks)
+    n_steps = run.frames.t_new.shape[0]
+
+    def body(carry, inp):
+        st, tb = carry
+        frame, k = inp
+
+        def do(args):
+            st, tb = args
+            st2, tb2, _diag = manager.step_frame(st, tb, cfg, tri_opts,
+                                                 frame)
+            return st2, tb2
+
+        st, tb = jax.lax.cond(k >= k0, do, lambda a: a, (st, tb))
+        out = (st.q, st.p, st.v, st.cov[:6, :6])
+        return (st, tb), out
+
+    (state, table), outs = jax.lax.scan(
+        body, (state0, table), (run.frames, jnp.arange(n_steps)))
+    return state, outs
+
+
 def _rot2q(R):
     from open_vins_tpu.ops import lie
     return lie.rot_2_quat(R)
