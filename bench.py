@@ -13,8 +13,10 @@ Prints one JSON line per metric {"metric", "value", "unit", "vs_baseline"}:
      cannot publish silently).  vs_baseline for the RMSE is the reference's
      best published EuRoC ATE (0.058 m, BASELINE.md) divided by the value.
   3. sim_vio_ensemble8_agg_frames_per_sec_1chip — aggregate frames/s of 8
-     independent vmapped filter streams on one chip (the batch-scaling
-     axis: small-matrix latency amortizes across streams).  vs_baseline =
+     vmapped filter streams on one chip, each a DIFFERENT seed (the batch
+     axis doubles as the Monte-Carlo consistency axis; the companion
+     sim_vio_pose_nees_seed8_mean is the seed-averaged NEES — single-seed
+     NEES scatters ±2.5 1σ at this operating point).  vs_baseline =
      aggregate / 20.
   4. sim_vio_frames_per_sec_1chip — closed-loop sim VIO frames/s on one
      chip (LAST line = the headline metric).  The reference runs real-time
@@ -197,36 +199,67 @@ def main(argv=None):
             "vs_baseline": round(50_000.0 / p50_us, 1),  # per 50 ms frame
         }))
 
-        # --- aggregate throughput of an 8-stream vmapped ensemble
-        # (batch axis on one chip; small-matrix latency amortizes across
-        # streams)
+        # --- aggregate throughput of an 8-stream vmapped ensemble — 8
+        # DIFFERENT seeds, so the batch axis is simultaneously the
+        # Monte-Carlo consistency axis (docs/parallelism.md): per-stream
+        # accuracy gates the metric, and the seed-averaged NEES is the
+        # statistically meaningful consistency number (single-seed NEES
+        # scatters ±2.5 1σ at this operating point — r05 5-seed sweep).
         B = 8
-        brun = jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a, (B,) + a.shape), run)
+        sims_b = [sim] + [simulator.build(params, seed=s, traj=traj)
+                          for s in range(1, B)]
+        runs_b = [run] + [runner.stage_run(s, params) for s in sims_b[1:]]
+        bsim = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *sims_b)
+        brun = jax.tree_util.tree_map(lambda *a: jnp.stack(a), *runs_b)
         fil_ens = jax.jit(jax.vmap(
-            lambda r: runner.run_filter(cfg, tri_opts, sim, params, r,
-                                        max_tracks=384)))
-        bstate, bouts = fil_ens(brun)
+            lambda s, r: runner.run_filter(cfg, tri_opts, s, params, r,
+                                           max_tracks=384)))
+        bstate, bouts = fil_ens(bsim, brun)
         _sync(bstate.cov)  # compile + warmup
         reps = 3
         t0 = time.time()
         for _ in range(reps):
-            bstate, bouts = fil_ens(brun)
+            bstate, bouts = fil_ens(bsim, brun)
             _ = np.asarray(bouts[1]).ravel()[-1]  # forced per-rep host sync
             # (one whole-array transfer ~38 KB: device-side __getitem__
             # slicing dispatches EXTRA tunnel programs per rep and was the
             # r04 ensemble-inversion artifact — see docs/tpu-design.md)
         agg_fps = B * n_frames / ((time.time() - t0) / reps)
-        ps0 = np.array(bouts[1][0])
-        rmse0 = float(np.sqrt(
-            ((ps0 - np.array(run.gt_p)[1:]) ** 2).sum(1).mean()))
+        bps = np.array(bouts[1])                      # [B, nf, 3]
+        bqs = np.array(bouts[0])
+        bcov6 = np.array(bouts[3])
+        bgt_p = np.stack([np.array(r.gt_p)[1:] for r in runs_b])
+        bgt_q = np.stack([np.array(r.gt_q)[1:] for r in runs_b])
+        rmses = np.sqrt(((bps - bgt_p) ** 2).sum(-1).mean(-1))
+        nees_b = []
+        for b in range(B):
+            R_e = np.array(jax.vmap(lie.quat_2_rot)(_jnp.asarray(bqs[b])))
+            R_g = np.array(jax.vmap(lie.quat_2_rot)(_jnp.asarray(bgt_q[b])))
+            vals = []
+            for k in range(nf // 4, nf):
+                dth = -np.array(lie.log_so3(
+                    _jnp.asarray(R_g[k] @ R_e[k].T)))
+                e = np.concatenate([dth, bgt_p[b, k] - bps[b, k]])
+                vals.append(e @ np.linalg.solve(
+                    bcov6[b, k] + 1e-12 * np.eye(6), e))
+            nees_b.append(float(np.mean(vals)))
+        nees_b = np.asarray(nees_b)
         ens_healthy = (np.isfinite(np.array(bstate.cov)).all()
-                       and rmse0 < RMSE_GATE_M)
+                       and float(np.median(rmses)) < RMSE_GATE_M)
         print(json.dumps({
             "metric": "sim_vio_ensemble8_agg_frames_per_sec_1chip",
             "value": round(agg_fps, 1) if ens_healthy else 0.0,
-            "unit": "frames/s",
+            "unit": f"frames/s (8 seeds, rmse med "
+                    f"{float(np.median(rmses)):.4f} m max "
+                    f"{float(rmses.max()):.4f})",
             "vs_baseline": round(agg_fps / 20.0, 2) if ens_healthy else 0.0,
+        }))
+        print(json.dumps({
+            "metric": "sim_vio_pose_nees_seed8_mean",
+            "value": round(float(nees_b.mean()), 2),
+            "unit": f"dimensionless (dof 6; 8-seed std "
+                    f"{float(nees_b.std()):.2f}, max {float(nees_b.max()):.1f})",
+            "vs_baseline": round(6.0 / max(float(nees_b.mean()), 1e-9), 2),
         }))
 
     # --- image front-end metrics (VERDICT r03 #2): rendered 752×480 STEREO

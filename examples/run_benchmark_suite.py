@@ -191,8 +191,14 @@ def auto_init_state(run, sim, cfg, params, max_search_s=40.0):
         if use_dynamic:
             P = 6
             stride = max(1, int(round(2 * w * params.cam_rate / (P - 1))))
-            pose_ks = list(range(max(0, k - stride * (P - 1)), k + 1,
-                                 stride))[-P:]
+            # anchor the pose grid at the NEWEST frame k: the init state is
+            # reported at the last pose time, which try_initialize/the
+            # caller then treat as t_newest — building the grid from the
+            # window start (range(lo, k+1, stride)) can drop k itself when
+            # the window clips at 0, leaving the returned state ~0.35 s
+            # STALE (measured: 3.5 deg gravity error, 25 m replay ATE)
+            pose_ks = [k - stride * (P - 1 - j) for j in range(P)]
+            pose_ks = [j for j in pose_ks if j >= 0]
             t_poses = [float(t_new[j]) for j in pose_ks]
             hist_n = {fid: (ts, uvns) for fid, (ts, _, uvns)
                       in hist.items()}

@@ -200,9 +200,15 @@ def main():
             cam_rate = 1.0 / max(float(np.median(np.diff(cam_t))), 1e-3)
             stride = max(1, int(round(2 * w * cam_rate / (P - 1))))
             k_now = int(np.searchsorted(cam_t - t0, tk))
-            pose_ks = list(range(max(0, k_now - stride * (P - 1)),
-                                 k_now + 1, stride))
-            t_poses = [cam_t[j] - t0 for j in pose_ks][-P:]
+            # anchor the pose grid at the NEWEST frame: the dynamic-init
+            # state is reported at the LAST pose time, which the handoff
+            # treats as t_init — a start-clipped range(lo, k+1, stride)
+            # can omit k_now itself, making the state ~stride/cam_rate
+            # seconds stale at handoff (same bug measured at 3.5 deg
+            # gravity error in the suite's replay path)
+            pose_ks = [k_now - stride * (P - 1 - j) for j in range(P)]
+            pose_ks = [j for j in pose_ks if 0 <= j < len(cam_t)]
+            t_poses = [cam_t[j] - t0 for j in pose_ks]
             hist_n = {fid: (list(ts), list(uvns))
                       for fid, (ts, _, uvns) in track_hist.items()}
             dyn_input = router.build_dyn_input(
