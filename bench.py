@@ -171,32 +171,51 @@ def main(argv=None):
 
     n_frames = simulator.n_cam_frames(params) - 1
     if not args.quick:
+        # The K-update scan runs M times inside ONE jit (genuine data
+        # dependence through the carried state).  r05 re-attribution: the
+        # old p50 ≈ 530 µs was dominated by the flat ~25 ms per-invocation
+        # tunnel overhead / K=64 — the xplane device span of the same
+        # chain is ~142 µs/update (leaf 120 µs).  Differencing two M
+        # values cancels the invocation overhead exactly and yields the
+        # true device per-update latency; the amortized wall at M=8 is
+        # the honest end-to-end p50.
         @jax.jit
-        def chain(st, Hs, ress):
-            def body(s, hr):
-                H, res = hr
-                return ekf.ekf_update(s, cfg, H, res, r_diag), s.p[0]
-            return jax.lax.scan(body, st, (Hs, ress))
+        def chain(st, Hs, ress, m):
+            def outer(i, s):
+                def body(s, hr):
+                    H, res = hr
+                    return ekf.ekf_update(s, cfg, H, res, r_diag), s.p[0]
+                s, _ = jax.lax.scan(body, s, (Hs, ress))
+                return s
+            return jax.lax.fori_loop(0, m, outer, st)
 
-        out, _ = chain(state, Hs, ress)
+        out = chain(state, Hs, ress, jnp.int32(1))
         _sync(out.cov)
-        lat = []
+        lat = {1: [], 8: []}
         for _ in range(20):
-            t0 = time.perf_counter()
-            out, _ = chain(state, Hs, ress)
-            # tiny forced host transfer: block_until_ready through the
-            # remote tunnel has been observed to return without waiting
-            # (a 360-frame tracker run "timed" at 0.8 ms); a host read of
-            # one output is an unfakeable sync.  Cost ≈ one RTT amortized
-            # over the K-update chain.
-            _ = np.asarray(out.p).ravel()[0]
-            lat.append((time.perf_counter() - t0) / K)
-        p50_us = float(np.percentile(lat, 50)) * 1e6
+            for m in (1, 8):
+                t0 = time.perf_counter()
+                out = chain(state, Hs, ress, jnp.int32(m))
+                # forced tiny host transfer (unfakeable sync)
+                _ = np.asarray(out.p).ravel()[0]
+                lat[m].append(time.perf_counter() - t0)
+        t1 = float(np.percentile(lat[1], 50))
+        t8 = float(np.percentile(lat[8], 50))
+        p50_us = t8 / (8 * K) * 1e6
+        dev_us = max(t8 - t1, 0.0) / (7 * K) * 1e6
         print(json.dumps({
             "metric": "ekf_update_p50_latency_us",
             "value": round(p50_us, 1),
-            "unit": "us",
+            "unit": f"us (wall, {8 * K}-update in-jit chain; "
+                    f"K=64 legacy number was invocation-overhead-bound)",
             "vs_baseline": round(50_000.0 / p50_us, 1),  # per 50 ms frame
+        }))
+        print(json.dumps({
+            "metric": "ekf_update_device_us",
+            "value": round(dev_us, 1),
+            "unit": "us (in-jit rep differencing — pure device time; "
+                    "xplane span 142 us / leaf 120 us at r05)",
+            "vs_baseline": round(50_000.0 / max(dev_us, 1e-9), 1),
         }))
 
         # --- aggregate throughput of an 8-stream vmapped ensemble — 8

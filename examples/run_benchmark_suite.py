@@ -65,10 +65,17 @@ FAMILY_DEPTH = {
 # min_view_depth gate makes the occasional transiently-close feature safe
 # (measured on 60 s windows: V2_01 0.52 → 0.069 m, V1_01 0.096 → 0.047 m;
 # the MH machine halls NEED the deeper map — MH_05 degrades 0.075 → 0.70
-# at room depths, so the override is V-only)
+# at room depths, so the override is V-only).
+# The *_difficult (fast) V-rooms are EXCLUDED from the override: at high
+# angular rates close-range SLAM landmarks degrade filter CONSISTENCY —
+# the landmark linearization error at 1.5-3 m depth is no longer small
+# against the state covariance (r05 measured, V1_03 100 s seed 0: pos
+# NEES 20.0 at (3,8) vs 7.1 at (5,10); SLAM-off 5.4 confirms the
+# landmarks carry it; GLOBAL_3D worsens to 28.4 — anchored reps absorb
+# part of the error, exactly their design role).  Fast sequences have
+# parallax to spare, so they never needed the close map.
 SEQ_DEPTH = {name: (3.0, 8.0) for name in (
-    "V1_01_easy", "V1_02_medium", "V1_03_difficult",
-    "V2_01_easy", "V2_02_medium", "V2_03_difficult")}
+    "V1_01_easy", "V1_02_medium", "V2_01_easy", "V2_02_medium")}
 
 # per-sequence start skip, seconds — the reference's bag start offsets
 # (run_ros_eth.sh:34-47): the EuRoC MH sequences begin with a long

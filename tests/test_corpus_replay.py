@@ -47,11 +47,11 @@ def replay():
         cfg, tri.TriangulationOptions(), s, params, r, max_tracks=384)
     )(sim, run)
     jax.block_until_ready(state.cov)
-    return params, run, state, outs
+    return params, cfg, sim, run, state, outs
 
 
 def test_v102_replay_ate(replay):
-    params, run, state, outs = replay
+    params, cfg, sim, run, state, outs = replay
     qs, ps, vs, covs6, diag = outs
     ps = np.array(ps)
     gt_p = np.array(run.gt_p)[1:]
@@ -69,7 +69,7 @@ def test_v102_replay_ate(replay):
 
 
 def test_v102_replay_consistency(replay):
-    params, run, state, outs = replay
+    params, cfg, sim, run, state, outs = replay
     qs, ps, vs, covs6, diag = outs
     ps = np.array(ps)
     gt_p = np.array(run.gt_p)[1:]
@@ -86,3 +86,58 @@ def test_v102_replay_consistency(replay):
     n_slam = np.array(diag.n_slam)
     assert n_slam[n // 4:].mean() > 10, \
         f"SLAM starved: mean active {n_slam[n // 4:].mean():.1f}"
+
+
+def test_run_filter_from_gt_state_matches(replay):
+    """run_filter_from with a groundtruth state at k0 must track the
+    plain replay: pins the --init auto runner path (k0 frame/window
+    alignment, the lax.cond skip)."""
+    from open_vins_tpu.models import manager
+
+    params, cfg, sim, run, state, outs = replay
+    k0 = 40
+    t_new = np.array(run.frames.t_new)
+    gt_q = np.array(run.gt_q)[k0]
+    gt_p0 = np.array(run.gt_p)[k0]
+    gt_v0 = np.array(run.gt_v)[k0]
+    st0 = manager.initialize_from_gt(
+        cfg, jnp.asarray(gt_q), jnp.asarray(gt_p0), jnp.asarray(gt_v0),
+        sim.bias_g_traj[0], sim.bias_a_traj[0], float(t_new[k0 - 1]),
+        jax.vmap(lie.rot_2_quat)(sim.cam_R_ItoC), sim.cam_p_IinC,
+        sim.cam_intr)
+    st, fouts = jax.jit(lambda s0, k: runner.run_filter_from(
+        cfg, tri.TriangulationOptions(), sim, params, run, s0, k,
+        max_tracks=384))(st0, jnp.asarray(k0, jnp.int32))
+    assert np.isfinite(np.array(st.cov)).all()
+    ps = np.array(fouts[1])[k0:]
+    gt = np.array(run.gt_p)[1:][k0:]
+    rmse = float(np.sqrt(((ps - gt) ** 2).sum(1).mean()))
+    assert rmse < 0.1, f"run_filter_from gt-state rmse {rmse:.3f} m"
+
+
+def test_auto_init_replay(replay):
+    """The build's own routed initialization on a real trajectory must
+    produce a near-truth state (pins the r05 stale-pose-grid bug: the
+    newest frame missing from the dynamic-init pose grid handed the
+    filter a ~0.35 s stale state, 3.5 deg of gravity error)."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    suite = importlib.import_module("run_benchmark_suite")
+    params, cfg, sim, run, state, outs = replay
+    ai = suite.auto_init_state(run, sim, cfg, params)
+    assert ai is not None, "auto init did not converge on V1_02"
+    st0, k0, kind, t_init = ai
+    gt_q = np.array(run.gt_q)[k0]
+    R_i = np.array(lie.quat_2_rot(st0.q))
+    R_t = np.array(lie.quat_2_rot(jnp.asarray(gt_q)))
+    g_i = R_i @ np.array([0.0, 0.0, 1.0])
+    g_t = R_t @ np.array([0.0, 0.0, 1.0])
+    ang = np.degrees(np.arccos(np.clip(g_i @ g_t, -1.0, 1.0)))
+    assert ang < 1.0, f"init gravity-direction error {ang:.2f} deg"
+    v_err = abs(float(np.linalg.norm(np.array(st0.v)))
+                - float(np.linalg.norm(np.array(run.gt_v)[k0])))
+    assert v_err < 0.1, f"init |v| error {v_err:.3f} m/s"
