@@ -418,6 +418,8 @@ def main():
                         for L, s in rpe_tab.items()},
                 "nees_pos": round(st_p.mean, 2),
                 "nees_ori": round(st_o.mean, 2),
+                "nees_pos_med": round(st_p.median, 2),
+                "nees_ori_med": round(st_o.median, 2),
                 "fps": round(fps, 1), "stage_s": round(t_stage, 1),
                 "finite": finite, "align": args.align,
             }
@@ -670,8 +672,9 @@ def write_accuracy(path, results, align, rendered=None, auto=None):
         lines.append(f"## {fam}")
         lines.append("")
         lines.append("| sequence | span (s) | ATE deg / m | ATE se3 m | "
-                     "RPE 8m deg/m | RPE 48m deg/m | pose NEES (p/o) | fps (1 chip) |")
-        lines.append("|---|---|---|---|---|---|---|---|")
+                     "RPE 8m deg/m | RPE 48m deg/m | pos NEES mean (med) | "
+                     "ori NEES mean (med) | fps (1 chip) |")
+        lines.append("|---|---|---|---|---|---|---|---|---|")
         for r in rows:
             rpe8 = r["rpe"].get("8", ["-", "-"])
             rpe48 = r["rpe"].get("48", ["-", "-"])
@@ -680,7 +683,9 @@ def write_accuracy(path, results, align, rendered=None, auto=None):
                 f"{r['ate_deg']:.3f} / {r['ate_m']:.3f} | "
                 f"{r['ate_se3_m']:.3f} | {rpe8[0]} / {rpe8[1]} | "
                 f"{rpe48[0]} / {rpe48[1]} | "
-                f"{r['nees_pos']:.1f} / {r['nees_ori']:.1f} | {r['fps']:.0f} |")
+                f"{r['nees_pos']:.1f} ({r.get('nees_pos_med', float('nan')):.1f}) | "
+                f"{r['nees_ori']:.1f} ({r.get('nees_ori_med', float('nan')):.1f}) | "
+                f"{r['fps']:.0f} |")
         avg_m = np.mean([r["ate_m"] for r in rows])
         avg_d = np.mean([r["ate_deg"] for r in rows])
         lines.append(f"| **average** |  | **{avg_d:.3f} / {avg_m:.3f}** |  |  |  |  |  |")

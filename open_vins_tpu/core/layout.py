@@ -78,8 +78,21 @@ class FilterConfig(NamedTuple):
     # sub-updates.  Closed-loop NEES/RMSE parity is pinned by
     # tests/test_e2e_sim.py + tests/test_slam.py (joint vs sequential).
     # False restores the reference-exact sequential ordering.
-    joint_update_form: str = "newton"  # how the joint vision system applies:
-    # "newton" (default) = push-through (Woodbury) with the k×k inverse by
+    joint_update_form: str = "qr"  # how the joint vision system applies:
+    # "qr" (DEFAULT since r05) = orthogonal compression on the support
+    # columns + one-sweep chol(S) update — no explicit HᵀH grammian.
+    # WHY the grammian forms are no longer the default: squaring H in f32
+    # rectifies rounding noise into an ALWAYS-POSITIVE information floor
+    # (~eps_mach·‖H‖²) along the FEJ-cancelled gauge directions.  On
+    # short runs it is invisible; on long fast sequences the growing yaw
+    # variance amplifies it into a genuine consistency failure — measured
+    # on a 95 s MH_05 replay (seed 1): yaw σ SHRINKS 1.15°→0.56° (yaw is
+    # unobservable; σ must be monotone non-decreasing), pos NEES 209 vs
+    # sequential 20, RMSE 0.69 m vs 0.21.  "qr"/sequential never square H
+    # (orthogonal transforms + S = HPHᵀ+R) and stay consistent: qr NEES
+    # 18.6 / RMSE 0.20 on the same replay.  Gated by
+    # tests/test_long_consistency.py (yaw-σ monotonicity).
+    # "newton" = push-through (Woodbury) with the k×k inverse by
     # Hotelling–Bodewig iteration (core/ekf.kalman_update_math_newton) —
     # EXACT information-form algebra (A = I + G·P_ss has spectrum ≥ 1, no
     # jitter anywhere) realized as ~2·iters batched matmuls with ZERO
