@@ -366,7 +366,7 @@ def newton_inverse(A, iters=22, refine=0):
 def kalman_update_math_newton(cov, H, res, ranges, iters=22,
                               return_gamma=False, return_resid=False,
                               polish_tol=1e-3, max_polish=6,
-                              noop_tol=5e-2):
+                              noop_tol=5e-2, null_basis=None):
     """Push-through (Woodbury) update with the k×k inverse from
     `newton_inverse` — the CUSTOM-CALL-FREE joint vision update.
 
@@ -401,6 +401,11 @@ def kalman_update_math_newton(cov, H, res, ranges, iters=22,
     P_ss = take_cols(P_cols.T, ranges).T  # [k, k]
     G = H_s.T @ H_s
     g = H_s.T @ res
+    if null_basis is not None:
+        # gauge deflation (see deflate_gauge_info): kill the grammian's
+        # rectified f32 information floor along the unobservable
+        # directions before it reaches the update
+        G, g = deflate_gauge_info(G, g, null_basis)
     A = jnp.eye(G.shape[0], dtype=cov.dtype) + G @ P_ss
     X = newton_inverse(A, iters=iters)
     B = jnp.concatenate([G @ P_cols.T, g[:, None]], axis=1)  # [k, D+1]
@@ -446,15 +451,108 @@ def kalman_update_math_newton(cov, H, res, ranges, iters=22,
     return out
 
 
+_GAUGE_DEFLATE_REPS = frozenset((
+    "GLOBAL_3D", "ANCHORED_3D", "ANCHORED_FULL_INVERSE_DEPTH",
+    "ANCHORED_MSCKF_INVERSE_DEPTH", "ANCHORED_INVERSE_DEPTH_SINGLE"))
+
+
+def gauge_deflation_supported(cfg: FilterConfig) -> bool:
+    """Static check: can the gauge nullspace be built for this config?
+
+    Anchored landmark parameters are invariant under a global gauge
+    transform (they live relative to the anchor pose), so their nullspace
+    rows are exact zeros; GLOBAL_3D rows are explicit.  The spherical
+    GLOBAL_FULL_INVERSE_DEPTH parameterization's gauge rows are not
+    implemented — deflation is skipped there (python-level, so the jit
+    never traces the unsupported path)."""
+    return cfg.feat_rep_slam in _GAUGE_DEFLATE_REPS
+
+
+def gauge_null_basis_support(state: VioState, cfg: FilterConfig, ranges):
+    """Orthonormal basis [k, 4] of the VIO gauge nullspace — 3 global
+    translations + global yaw — restricted to the measurement support
+    columns, evaluated at FEJ values.
+
+    The observability-constrained-EKF direction set (Hesch/Huang
+    consistency analysis): for a world-frame gauge rotation δψ about
+    gravity ẑ and translation t, each clone pose perturbs as
+    δθ_i = R_i,fej ẑ·δψ (JPL local error of R' = R·R_z) and
+    δp_i = ẑ×p_i,fej·δψ − t; GLOBAL_3D landmarks likewise; anchored
+    landmark params and calib blocks are invariant (zero rows).  Columns
+    are CGS2-orthonormalized; an all-zero column (e.g. no valid state
+    yet) stays zero, making the downstream deflation an exact no-op."""
+    from open_vins_tpu.models.update_helper import take_cols
+    from open_vins_tpu.ops import lie
+
+    dtype = state.cov.dtype
+    C, L, D = cfg.max_clones, cfg.max_slam, cfg.state_dim
+    zhat = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    N = jnp.zeros((D, 4), dtype)
+    Rs = jax.vmap(lie.quat_2_rot)(state.clones_q_fej)  # [C,3,3]
+    cb = jnp.zeros((C, 6, 4), dtype)
+    cb = cb.at[:, 0:3, 3].set(Rs @ zhat)
+    cb = cb.at[:, 3:6, 3].set(jnp.cross(
+        jnp.broadcast_to(zhat, (C, 3)), state.clones_p_fej))
+    cb = cb.at[:, 3:6, 0:3].set(jnp.broadcast_to(jnp.eye(3, dtype=dtype),
+                                                 (C, 3, 3)))
+    cb = cb * state.clone_valid.astype(dtype)[:, None, None]
+    N = N.at[cfg.clones_off:cfg.clones_off + 6 * C].set(
+        cb.reshape(6 * C, 4))
+    if L > 0 and cfg.feat_rep_slam == "GLOBAL_3D":
+        lb = jnp.zeros((L, 3, 4), dtype)
+        lb = lb.at[:, :, 3].set(jnp.cross(
+            jnp.broadcast_to(zhat, (L, 3)), state.slam_p_fej))
+        lb = lb.at[:, :, 0:3].set(jnp.broadcast_to(
+            jnp.eye(3, dtype=dtype), (L, 3, 3)))
+        lb = lb * state.slam_valid.astype(dtype)[:, None, None]
+        N = N.at[cfg.slam_off:cfg.slam_off + 3 * L].set(
+            lb.reshape(3 * L, 4))
+    N_s = take_cols(N.T, ranges).T  # [k, 4]
+    # CGS2 orthonormalization; zero columns stay exactly zero
+    cols = []
+    for j in range(4):
+        v = N_s[:, j]
+        for _ in range(2):
+            for u in cols:
+                v = v - (u @ v) * u
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        v = jnp.where(nrm > 1e-6, v / jnp.maximum(nrm, 1e-30), 0.0)
+        cols.append(v)
+    return jnp.stack(cols, axis=1)
+
+
+def deflate_gauge_info(G, g, N):
+    """Remove the gauge-direction information from (G = HᵀH, g = Hᵀres):
+    G ← (I−NNᵀ)G(I−NNᵀ), g ← (I−NNᵀ)g — the observability-constrained-EKF
+    projection realized on the information form.
+
+    STATUS (r05, experimental — FilterConfig.gauge_deflation, default
+    off): the basis from gauge_null_basis_support is verified against
+    live stacks (‖H·N‖/‖H‖ ≈ 3e-8) and this projection is pinned exact
+    on synthetic nullspaces (1e-6 rel), but it does NOT cure the newton
+    form's long-horizon yaw-variance leak — the leak is therefore not
+    gauge-direction information in G.  See the joint_update_form comment
+    in core/layout.py for the measured facts and leading hypothesis."""
+    GN = G @ N                       # [k, 4]
+    NtGN = N.T @ GN                  # [4, 4]
+    G = G - N @ GN.T - GN @ N.T + N @ (NtGN @ N.T)
+    g = g - N @ (N.T @ g)
+    return G, g
+
+
 def ekf_update_newton(state: VioState, cfg: FilterConfig, H, res,
                       ranges, return_resid=False):
     """`ekf_update` via the Newton push-through form (see
     kalman_update_math_newton); H row-whitened, zero rows exact no-ops.
     With ``return_resid`` also returns the solve's relative residual for
     diagnostics (`StepDiag.newton_resid`)."""
+    nb = (gauge_null_basis_support(state, cfg, ranges)
+          if cfg.gauge_deflation and gauge_deflation_supported(cfg)
+          else None)
     out = kalman_update_math_newton(state.cov, H, res, ranges,
                                     iters=cfg.newton_iters,
-                                    return_resid=return_resid)
+                                    return_resid=return_resid,
+                                    null_basis=nb)
     dx, cov = out[0], out[1]
     new_state = boxplus(state, cfg, dx)._replace(cov=cov)
     if return_resid:

@@ -78,20 +78,35 @@ class FilterConfig(NamedTuple):
     # sub-updates.  Closed-loop NEES/RMSE parity is pinned by
     # tests/test_e2e_sim.py + tests/test_slam.py (joint vs sequential).
     # False restores the reference-exact sequential ordering.
+    gauge_deflation: bool = False  # EXPERIMENTAL, newton form only:
+    # project the gauge-direction information out of the grammian
+    # (core/ekf.deflate_gauge_info — the OC-EKF projection on the
+    # information form).  Status r05: the basis IS verified against live
+    # stacks (‖H·N‖/‖H‖ ≈ 3e-8, gauge_null_basis_support) and the
+    # projection is exact on synthetic nullspaces, but it does NOT cure
+    # the newton long-horizon yaw leak (yaw σ still shrank; an MH_05 A/B
+    # additionally measured worse rmse on that chaotic realization) — the
+    # leak is not gauge-direction information in G; see the
+    # joint_update_form note.  Kept off; the qr default needs no
+    # deflation (no HᵀH is ever formed).
     joint_update_form: str = "qr"  # how the joint vision system applies:
     # "qr" (DEFAULT since r05) = orthogonal compression on the support
     # columns + one-sweep chol(S) update — no explicit HᵀH grammian.
-    # WHY the grammian forms are no longer the default: squaring H in f32
-    # rectifies rounding noise into an ALWAYS-POSITIVE information floor
-    # (~eps_mach·‖H‖²) along the FEJ-cancelled gauge directions.  On
-    # short runs it is invisible; on long fast sequences the growing yaw
-    # variance amplifies it into a genuine consistency failure — measured
-    # on a 95 s MH_05 replay (seed 1): yaw σ SHRINKS 1.15°→0.56° (yaw is
-    # unobservable; σ must be monotone non-decreasing), pos NEES 209 vs
-    # sequential 20, RMSE 0.69 m vs 0.21.  "qr"/sequential never square H
-    # (orthogonal transforms + S = HPHᵀ+R) and stay consistent: qr NEES
-    # 18.6 / RMSE 0.20 on the same replay.  Gated by
-    # tests/test_long_consistency.py (yaw-σ monotonicity).
+    # WHY the grammian forms are no longer the default — MEASURED on a
+    # 95 s MH_05 replay (seed 1): with "newton" the unobservable yaw's σ
+    # SHRINKS 1.15°→0.56° (it must be monotone non-decreasing), pos NEES
+    # 209, RMSE 0.69 m; sequential NEES 20 / 0.21 m and qr NEES 18.6 /
+    # 0.20 m on the same data.  newton_iters 14 vs 22 bit-identical (so
+    # not solve convergence); "spd" leaks too (NEES 33); deflating the
+    # VERIFIED gauge nullspace out of G/g (gauge_deflation, ‖H·N‖/‖H‖
+    # measured 3e-8) does NOT cure it — so the leak is not simple
+    # gauge-direction information injection.  Leading hypothesis: the
+    # info-form downdate P_cols·(A⁻¹G)·P_colsᵀ evaluates the yaw-variance
+    # quadratic form with FIRST-order f32 error (general bilinear
+    # product), while qr's Gram-form downdate Y₁ᵀY₁ squares a computed
+    # vector — errors enter the variance only at second order.  Until the
+    # mechanism is fully pinned, the consistent form is the default;
+    # tests/test_long_consistency.py gates it (yaw-σ monotonicity).
     # "newton" = push-through (Woodbury) with the k×k inverse by
     # Hotelling–Bodewig iteration (core/ekf.kalman_update_math_newton) —
     # EXACT information-form algebra (A = I + G·P_ss has spectrum ≥ 1, no
