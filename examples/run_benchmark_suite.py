@@ -710,6 +710,30 @@ def write_accuracy(path, results, align, rendered=None, auto=None):
         "longer small against the state covariance, and anchored reps "
         "absorb only part of it.  Fast sequences have parallax to "
         "spare, so they keep the family default.",
+        "- **Long-horizon consistency (r05).**  MH_05's pos NEES 10.7 is the",
+        "  residual of a genuine long-horizon EKF-VIO limitation: on fast 90 s+",
+        "  sequences some yaw variance is lost even in the reference-exact",
+        "  sequential ordering (classical FEJ limits; measured NEES 20-38 across",
+        "  seeds).  The r05 form study found the grammian-based joint forms",
+        "  (newton/spd) make this categorically worse (yaw sigma 1.15->0.56 deg,",
+        "  NEES 209) and moved the default to the orthogonal \"qr\" form, which",
+        "  tracks sequential — see core/layout.py joint_update_form and",
+        "  tests/test_long_consistency.py.",
+        "- **images->pose rows**: V2_02 lands AT the reference's real-sensor",
+        "  band (0.102 vs published 0.106).  V1_01 (0.476) and MH_01 (0.251) sit",
+        "  above it with inflated NEES: over 2000+ frames the KLT front-end's",
+        "  tracking error is temporally CORRELATED (drift on a persistent sprite",
+        "  field), violating the filter's white-pixel-noise model — the",
+        "  short-horizon rendered loops (0.029 m / 30 s rig, bench 8 s loop",
+        "  0.074 m) do not expose this.  Treat as the honest current boundary of",
+        "  the rendered pipeline; real-sensor ingestion shares the issue only",
+        "  partially (real scenes refresh features faster than the 2048-sprite",
+        "  map).",
+        "- **auto-init**: 30/32 sequences converge with ATE at or near the",
+        "  gt-init rows.  MH_02 diverged after init (non-finite) and",
+        "  outdoor_45_1 accepted a poor dynamic solution (16 m) — init",
+        "  acceptance gates (excitation/condition thresholds vs this protocol)",
+        "  remain future hardening.",
         "- Single-seed NEES scatters ±2.5 (1σ) at this operating point "
         "(r05 5-seed sweep: newton 6.16±2.54, spd 6.05±2.07, identical "
         "RMSE) — read the seed-0 NEES column with that scatter in mind; "

@@ -366,7 +366,8 @@ def newton_inverse(A, iters=22, refine=0):
 def kalman_update_math_newton(cov, H, res, ranges, iters=22,
                               return_gamma=False, return_resid=False,
                               polish_tol=1e-3, max_polish=6,
-                              noop_tol=5e-2, null_basis=None):
+                              noop_tol=5e-2, null_basis=None,
+                              joseph=False):
     """Push-through (Woodbury) update with the k×k inverse from
     `newton_inverse` — the CUSTOM-CALL-FREE joint vision update.
 
@@ -441,7 +442,34 @@ def kalman_update_math_newton(cov, H, res, ranges, iters=22,
     XB = jnp.where(ok, XB, 0.0)
     W, y = XB[:, :D], XB[:, D]
     dx = P_cols @ y
-    new_cov = symmetric_downdate(cov, P_cols, W.T)
+    if joseph:
+        # JOSEPH-FORM covariance: P⁺ = (I−KH)P(I−KH)ᵀ + KKᵀ, evaluated
+        # with the support-structured products (no [D,m] K is ever
+        # formed; ~6 extra MXU matmuls, still zero custom calls).  Why:
+        # Joseph is STATIONARY w.r.t. gain errors (∂P⁺/∂K = 0 at the
+        # optimal K), so the first-order f32 error of the solve/products
+        # cannot bias the posterior covariance — the r05 long-horizon
+        # yaw-leak hypothesis for the plain info-form downdate
+        # P − P_cols(A⁻¹G)P_colsᵀ, whose bilinear evaluation is
+        # first-order sensitive.  KH P = P_cols·W with the W already
+        # solved; the quadratic terms reuse M2 = X·G.
+        M2 = X @ G                       # [k, k] = A⁻¹G (+solve error)
+        C = P_cols @ M2                  # [D, k]
+        PX = P_cols @ X                  # [D, k]
+        quad = C @ (P_ss @ C.T)          # KH P KHᵀ
+        gram = C @ PX.T                  # K Kᵀ = P_cols X G Xᵀ P_colsᵀ
+        # ALL covariance terms share the SAME K (raw X, not the polished
+        # solve) — stationarity only holds when linear and quadratic
+        # terms use one gain; dx keeps the polished y
+        PW = P_cols @ (M2 @ P_cols.T)    # KH P (and its transpose)
+        jc = cov - PW - PW.T + quad + gram
+        jc = 0.5 * (jc + jc.T)
+        # no-op/NaN gate (same convention as the solve path): a
+        # non-converged or non-finite gain leaves the covariance alone
+        jok = ok & jnp.all(jnp.isfinite(jc))
+        new_cov = jnp.where(jok, jc, cov)
+    else:
+        new_cov = symmetric_downdate(cov, P_cols, W.T)
     out = (dx, new_cov)
     if return_gamma:
         gamma = res @ res - g @ (P_ss @ (X @ g))
@@ -552,7 +580,8 @@ def ekf_update_newton(state: VioState, cfg: FilterConfig, H, res,
     out = kalman_update_math_newton(state.cov, H, res, ranges,
                                     iters=cfg.newton_iters,
                                     return_resid=return_resid,
-                                    null_basis=nb)
+                                    null_basis=nb,
+                                    joseph=cfg.newton_joseph)
     dx, cov = out[0], out[1]
     new_state = boxplus(state, cfg, dx)._replace(cov=cov)
     if return_resid:

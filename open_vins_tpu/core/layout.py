@@ -130,6 +130,18 @@ class FilterConfig(NamedTuple):
     # row interchanges; it wins only where LU is cheap (CPU) or for small k
     # (the ZUPT uses the same identity at k=9).
     # Only read when joint_vision_update.
+    newton_joseph: bool = False  # EXPERIMENTAL newton form: JOSEPH-FORM
+    # covariance (P⁺ = (I−KH)P(I−KH)ᵀ + KKᵀ via support-structured
+    # matmuls, still zero custom calls); stationary w.r.t. gain error —
+    # the r05 candidate fix for the newton long-horizon yaw leak.
+    # Status r05: unit-exact vs the plain downdate on healthy systems
+    # (8e-7 rel, tests/test_ekf.py), but in closed loop the quadratic
+    # terms use the UNPOLISHED inverse X and a small X error compounds
+    # (covariance inflation → ‖A‖ beyond iters coverage → permanent
+    # no-op updates → drift; measured on 12 s MH_05).  Known fix if
+    # pursued: polish M2 = A⁻¹G (and A⁻ᵀ for KKᵀ) with the same
+    # iterative refinement the solve uses (~2× matmul volume).  Keep
+    # off; "qr" is the consistent default.
     newton_iters: int = 22  # fixed Hotelling-Bodewig sweeps of the newton
     # form (covers sigma = ||A||_F <= 2^iters/16 before the while-loop
     # polish takes over; see core/ekf.kalman_update_math_newton's

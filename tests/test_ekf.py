@@ -603,3 +603,34 @@ class TestDelayedInit:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])
+
+
+def test_newton_joseph_matches_plain_on_healthy_system():
+    """The experimental Joseph-form downdate must agree with the plain
+    info-form downdate on a well-conditioned system (unit pin for the r05
+    experiment; its closed-loop divergence is documented in
+    core/layout.py newton_joseph)."""
+    import numpy as np
+
+    from open_vins_tpu.core import ekf
+    from open_vins_tpu.core.layout import FilterConfig
+
+    cfg = FilterConfig(max_clones=11, max_slam=50, num_cams=1)
+    D = cfg.state_dim
+    ranges = cfg.slam_meas_support_ranges
+    k = sum(b - a for a, b in ranges)
+    rng = np.random.default_rng(1)
+    A0 = rng.normal(size=(D, D)) * 0.01
+    cov = jnp.asarray(A0 @ A0.T + 0.001 * np.eye(D), jnp.float32)
+    H = np.zeros((60, D), np.float32)
+    H[:, ranges[0][0]:ranges[0][1]] = rng.normal(size=(60, k)).astype(
+        np.float32)
+    H = jnp.asarray(H)
+    res = jnp.asarray(rng.normal(size=(60,)) * 0.1, jnp.float32)
+    dx0, cov0 = ekf.kalman_update_math_newton(cov, H, res, ranges, iters=22)
+    dx1, cov1 = ekf.kalman_update_math_newton(cov, H, res, ranges, iters=22,
+                                              joseph=True)
+    assert float(jnp.abs(dx0 - dx1).max()) < 1e-7
+    rel = float(jnp.abs(cov0 - cov1).max() / jnp.abs(cov0).max())
+    assert rel < 1e-5, f"joseph vs plain cov rel diff {rel:.2e}"
+    assert float(jnp.abs(cov1 - cov1.T).max()) == 0.0
