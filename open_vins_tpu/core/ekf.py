@@ -266,6 +266,14 @@ def kalman_update_math(cov, H, res, r_diag, fuse_downdate=True, ranges=None):
     else:
         new_cov = cov - Y1.T @ Y1
         new_cov = 0.5 * (new_cov + new_cov.T)
+    # final NaN-kill (project convention): if the S-Cholesky went
+    # indefinite in f32 (e.g. extreme-magnitude rows slipping every
+    # upstream gate), the update degrades to an exact NO-OP instead of
+    # writing NaN into the state — the same convention every other
+    # update form already carries
+    ok = jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(new_cov))
+    dx = jnp.where(ok, dx, 0.0)
+    new_cov = jnp.where(ok, new_cov, cov)
     return dx, new_cov
 
 

@@ -188,16 +188,26 @@ def feature_jacobian(
                       dtype=dtype),  # imu-intrinsic tail
         ], axis=1)
 
+        # physical per-observation depth gate: the triangulation distance
+        # gates run in the ANCHOR frame only (reference featinit min_dist,
+        # triangulation.py:119), so a feature 2 m from its anchor can sit
+        # centimeters from ANOTHER clone — its 1/z² projection Jacobian
+        # rows reach O(10²-10⁶) and push S = HPHᵀ+R indefinite in f32
+        # (measured: chol NaN at frame 77 of a close-depth corridor sim,
+        # escaping into the state).  Such an observation is physically
+        # untrackable anyway; zero the row exactly (no-op convention).
+        depth_ok = (p_FinC[2] > 0.05) & (p_FinC_fej[2] > 0.05)
+        valid = valid & depth_ok
         w = valid.astype(dtype)
-        return row * w, H_f_o * w, res * w
+        return row * w, H_f_o * w, res * w, valid
 
-    H_x_rows, H_f_rows, res_rows = jax.vmap(one_obs)(
+    H_x_rows, H_f_rows, res_rows, vmask = jax.vmap(one_obs)(
         ctx, obs.clone_slot, obs.cam, obs.uv, obs.mask
     )
     H_x = H_x_rows.reshape(2 * O, D)
     H_f = H_f_rows.reshape(2 * O, 3)
     res = res_rows.reshape(2 * O)
-    row_mask = jnp.repeat(obs.mask, 2)
+    row_mask = jnp.repeat(vmask, 2)
     return H_x, H_f, res, row_mask
 
 
@@ -514,7 +524,13 @@ def feature_jacobian_batch(
     H_th = _soa_mm(dz_dpC, dpC_dth)
     H_p = -_soa_mm(dz_dpC, RR)
 
-    w = gobs.mask.reshape(M).astype(dtype)
+    # per-observation depth gate (see feature_jacobian): rows of a feature
+    # transiting within 5 cm of ANY clone camera are zeroed exactly —
+    # their 1/z² Jacobians otherwise reach magnitudes that break the f32
+    # chol(S) downstream
+    depth_ok = (p_FinC[2] > 0.05) & (p_FinC_fej[2] > 0.05)  # [M]
+    vmask = gobs.mask & depth_ok.reshape(F, O)
+    w = vmask.reshape(M).astype(dtype)
 
     def to_fo(a):
         """[2, k, M] -> [F, O, 2, k] (weighted)."""
@@ -553,5 +569,5 @@ def feature_jacobian_batch(
     H_x = rows.reshape(F, 2 * O, D)
     H_f = to_fo(H_f_o).reshape(F, 2 * O, 3)
     res_out = jnp.moveaxis((res * w).reshape(2, F, O), 0, -1).reshape(F, 2 * O)
-    row_mask = jnp.repeat(gobs.mask, 2, axis=-1)
+    row_mask = jnp.repeat(vmask, 2, axis=-1)
     return H_x, H_f, res_out, row_mask
