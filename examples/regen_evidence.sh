@@ -32,4 +32,6 @@ done
         --align posyaw
   done
 } > results/ablation/ABLATION.md
+# (see the r05 notes block in the committed ABLATION.md for the reading
+# of the featrep divergences — 3D reps at close depth)
 echo "evidence regenerated: ACCURACY.md, $OUT/COMPARISON.md, results/ablation/ABLATION.md"
