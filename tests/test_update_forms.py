@@ -68,14 +68,17 @@ class TestFormsOnRound2FailureRep:
 
     def test_qr_newton_agree(self):
         """qr and newton are both EXACT algebra (compress-then-solve vs
-        push-through with an iterated inverse) — they must track each other
-        to f32 solve noise (measured 4e-4 m over this loop).  newton is the
-        PRODUCTION DEFAULT, so this tight cross-check stays in the default
-        (non-slow) suite."""
+        push-through with an iterated inverse); PER-UPDATE equivalence is
+        pinned tightly in tests/test_ekf.py.  Over a chaotic closed loop
+        their f32 rounding profiles amplify: measured 4e-4 m pre-r05,
+        1.05e-2 m after the r05 per-observation depth gate changed the
+        active row set on this adversarial rep.  Gate at 2 cm: real
+        algebra errors produce decimeter+ divergence here (and each
+        form's own RMSE is gated separately above)."""
         _, _, ps_qr = _closed_loop(self.REP, "qr")
         _, _, ps_new = _closed_loop(self.REP, "newton")
         div_n = float(np.abs(ps_qr - ps_new).max())
-        assert div_n < 2e-3, f"qr-vs-newton trajectory divergence {div_n:.4f} m"
+        assert div_n < 2e-2, f"qr-vs-newton trajectory divergence {div_n:.4f} m"
 
     @pytest.mark.slow
     def test_forms_agree_approximate(self):
